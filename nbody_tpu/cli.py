@@ -1,0 +1,221 @@
+"""Command-line driver.
+
+Same flag surface and defaults as the reference CLI (src/arguments.h:23-156,
+src/main.cpp:67-74): -n, -s, --theta, --precision, --algorithm, --workload,
+--print-state, --print-info, --save, --csv-detailed, --csv-total, --help.
+Dimension is a runtime flag here (-d/--dim, default 2) instead of the
+reference's compile-time -DDIM_SIZE; jit specialization plays the role of
+template instantiation.
+
+TPU-native extensions: --kernel (pallas|jnp|auto force backend), --mesh
+(shard bodies over N devices), --chunk, --fix-collapsed-z, --sort-every,
+--save-state/--load-state (symmetric checkpointing).
+"""
+
+from __future__ import annotations
+
+import sys
+
+from nbody_tpu.config import SimConfig, precision_dtype
+
+_HELP = """Help:
+-n size\t\tNumber of particles to simulate
+-s steps\t\tNumber of steps to run simulation for
+-d|--dim 2|3\t\tSpatial dimension (default 2)
+--theta t\t\tTheta threshold parameter to use in Octree
+--precision double|float(default)\t\tSelects floating-point precision
+--algorithm all-pairs|all-pairs-collapsed|bvh|octree(default)\t\tSelects simulation algorithm
+--workload plummer|galaxy|uniform(default)|load <file.bin>\t\tSelects workload
+--print-state\t\tPrint the initial and final state of the simulation
+--print-info\t\tPrint info every timestep
+--save pos|energy|all|none(default) \t\tSelects what data to save every timestep
+--csv-detailed\t\tPer-phase timing CSV, saves every step
+--csv-total\t\tSingle-row timing CSV (excludes printing/saving)
+--kernel auto|pallas|jnp\t\tForce-kernel backend (default auto)
+--mesh N\t\tShard bodies across N devices (default 1)
+--chunk N\t\tRow-chunk size for the jnp fallback kernels
+--fix-collapsed-z\t\tFix the reference's frozen-z quirk in all-pairs-collapsed
+--sort-every K\t\tRe-sort bodies every K steps in tree engines (default 1)
+--save-state file.bin\t\tWrite final state in the loadable format
+--help\t\tDisplay this help message and quit
+"""
+
+
+def parse_args(argv: list[str]) -> dict:
+    """Hand-rolled flag loop mirroring parse_args (arguments.h:40-156);
+    raises SystemExit on unknown flags exactly like the reference."""
+    args = {
+        "size": 1000,
+        "steps": 1,
+        "warmup_steps": 10,
+        "dim": 2,
+        "precision": "float",
+        "workload": "uniform",
+        "algorithm": "octree",
+        "theta": 0.5,
+        "print_state": False,
+        "print_info": False,
+        "save_pos": False,
+        "save_energy": False,
+        "csv_detailed": False,
+        "csv_total": False,
+        "load_input": None,
+        # TPU extensions
+        "kernel": "auto",
+        "mesh": 1,
+        "chunk": 2048,
+        "fix_z": False,
+        "sort_every": 1,
+        "save_state": None,
+    }
+    i = 0
+    while i < len(argv):
+        flag = argv[i]
+        if flag == "-n":
+            i += 1
+            args["size"] = int(argv[i])
+        elif flag == "-s":
+            i += 1
+            args["steps"] = int(argv[i])
+        elif flag in ("-d", "--dim"):
+            i += 1
+            args["dim"] = int(argv[i])
+        elif flag == "--theta":
+            i += 1
+            args["theta"] = float(argv[i])
+        elif flag == "--csv-detailed":
+            args["csv_detailed"] = True
+        elif flag == "--csv-total":
+            args["csv_total"] = True
+        elif flag == "--precision":
+            i += 1
+            if argv[i] not in ("float", "double"):
+                print(f'Unknown precision: "{argv[i]}".', file=sys.stderr)
+                print("Options are: double, float (default).", file=sys.stderr)
+                raise SystemExit(1)
+            args["precision"] = argv[i]
+        elif flag == "--algorithm":
+            i += 1
+            if argv[i] not in ("all-pairs", "all-pairs-collapsed", "octree", "bvh"):
+                print(f'Unknown algorithm: "{argv[i]}".', file=sys.stderr)
+                print(
+                    "Options are: all-pairs, all-pairs-collapsed, bvh, octree (default).",
+                    file=sys.stderr,
+                )
+                raise SystemExit(1)
+            args["algorithm"] = argv[i]
+        elif flag == "--workload":
+            i += 1
+            if argv[i] == "load":
+                i += 1
+                args["load_input"] = argv[i]
+                args["workload"] = "load"
+            elif argv[i] in ("plummer", "galaxy", "uniform"):
+                args["workload"] = argv[i]
+            else:
+                print(f'Unknown workload: "{argv[i]}".', file=sys.stderr)
+                print("Options are: plummer, galaxy, uniform (default).", file=sys.stderr)
+                raise SystemExit(1)
+        elif flag == "--print-state":
+            args["print_state"] = True
+        elif flag == "--print-info":
+            args["print_info"] = True
+        elif flag == "--save":
+            i += 1
+            if argv[i] == "pos":
+                args["save_pos"] = True
+            elif argv[i] == "energy":
+                args["save_energy"] = True
+            elif argv[i] == "all":
+                args["save_pos"] = True
+                args["save_energy"] = True
+            elif argv[i] == "none":
+                args["save_pos"] = False
+                args["save_energy"] = False
+            else:
+                print(f'Unknown save options: "{argv[i]}".', file=sys.stderr)
+                print("Options are: pos, energy, all, none (default).", file=sys.stderr)
+                raise SystemExit(1)
+        elif flag == "--kernel":
+            i += 1
+            args["kernel"] = argv[i]
+        elif flag == "--mesh":
+            i += 1
+            args["mesh"] = int(argv[i])
+        elif flag == "--chunk":
+            i += 1
+            args["chunk"] = int(argv[i])
+        elif flag == "--fix-collapsed-z":
+            args["fix_z"] = True
+        elif flag == "--sort-every":
+            i += 1
+            args["sort_every"] = int(argv[i])
+        elif flag == "--save-state":
+            i += 1
+            args["save_state"] = argv[i]
+        elif flag in ("--help", "-h"):
+            print(_HELP, end="")
+            raise SystemExit(0)
+        else:
+            print(f"Unknown argument: '{flag}'")
+            raise SystemExit(1)
+        i += 1
+
+    if args["csv_detailed"] and args["csv_total"]:
+        print(
+            "Cannot capture a CSV detailed and coarse trace in the same run. "
+            "Specify one or the other.",
+            file=sys.stderr,
+        )
+        raise SystemExit(1)
+    return args
+
+
+def main(argv: list[str] | None = None, out=None) -> int:
+    if argv is None:
+        argv = sys.argv[1:]
+    args = parse_args(list(argv))
+
+    if args["precision"] == "double":
+        import jax
+
+        jax.config.update("jax_enable_x64", True)
+
+    from nbody_tpu.models import build_model
+    from nbody_tpu.sim.engines import EngineOptions
+    from nbody_tpu.sim.runner import RunOptions, run_simulation
+
+    dtype = precision_dtype(args["precision"])
+    cfg, state = build_model(
+        args["workload"], args["size"], args["dim"], dtype, args["load_input"]
+    )
+    cfg = cfg.replace(theta=args["theta"])
+
+    opts = RunOptions(
+        steps=args["steps"],
+        warmup_steps=args["warmup_steps"],
+        print_state=args["print_state"],
+        print_info=args["print_info"],
+        save_pos=args["save_pos"],
+        save_energy=args["save_energy"],
+        csv_detailed=args["csv_detailed"],
+        csv_total=args["csv_total"],
+        engine_opts=EngineOptions(
+            kernel=args["kernel"],
+            chunk=args["chunk"],
+            fix_z=args["fix_z"],
+            mesh=args["mesh"],
+            sort_every=args["sort_every"],
+        ),
+        out=out,
+    )
+    state = run_simulation(args["algorithm"], cfg, state, opts)
+    if args["save_state"]:
+        from nbody_tpu.io.saving import save_system
+
+        save_system(args["save_state"], state, cfg)
+    return 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())

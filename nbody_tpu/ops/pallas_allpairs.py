@@ -1,0 +1,114 @@
+"""Tiled Pallas all-pairs gravity kernel for TPU.
+
+TPU-native replacement for the reference's O(N^2) stdpar hot loop
+(src/all_pairs.h:14-27). The pairwise interaction space is tiled into a
+(i-tile, j-tile) grid; each i-tile of bodies stays resident while j-tiles
+stream through VMEM, accumulating accelerations in fp32 -- the structural
+analog of the reference's per-body j-loop, but laid out so the (TI, TJ)
+pairwise tiles map onto the 8x128 VPU with bodies along lanes.
+
+Math is the exact reference formula (vec.h:249-252):
+    a_i = G * sum_j m_j * (x_j - x_i) / (d2^(3/2) + eps)
+The diagonal and padding need no masks: the j == i term has a zero
+numerator, and padded bodies carry m = 0.
+
+Layout choices (see /opt/skills/guides/pallas_guide.md):
+  * positions are passed twice -- row-major (N, dim) for the stationary
+    i-tile (per-dim columns are (TI, 1) sublane vectors) and transposed
+    (dim, N) for the streaming j-tile (per-dim rows are (1, TJ) lane
+    vectors) -- so no in-kernel transposes are needed;
+  * the grid is (ni, nj) with j innermost; the output block depends only on
+    i, so XLA revisits it across the j axis and the kernel accumulates
+    in-place, initializing at j == 0.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+
+def pallas_available() -> bool:
+    return jax.default_backend() == "tpu"
+
+
+def _round_up(x: int, m: int) -> int:
+    return -(-x // m) * m
+
+
+def _allpairs_kernel(dim: int, eps: float, xi_ref, xjt_ref, mj_ref, out_ref):
+    j = pl.program_id(1)
+
+    @pl.when(j == 0)
+    def _():
+        out_ref[:, :] = jnp.zeros_like(out_ref)
+
+    xi = xi_ref[:, :]          # (TI, dim)
+    eps_v = jnp.asarray(eps, xi.dtype)
+
+    # pairwise squared distance, built per-dimension to stay in (TI, TJ) tiles
+    dx = []
+    d2 = None
+    for d in range(dim):
+        xd = xjt_ref[d, :][None, :] - xi[:, d][:, None]   # (TI, TJ)
+        dx.append(xd)
+        d2 = xd * xd if d2 is None else d2 + xd * xd
+
+    # w = m_j / (d2 * sqrt(d2) + eps); self/coincident pairs give 0 numerator
+    w = mj_ref[0, :][None, :] / (d2 * jnp.sqrt(d2) + eps_v)
+
+    for d in range(dim):
+        out_ref[:, d] += jnp.sum(w * dx[d], axis=1)
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("G", "eps", "tile_i", "tile_j", "interpret"),
+)
+def allpairs_accel_pallas(
+    m: jnp.ndarray,
+    x: jnp.ndarray,
+    G: float,
+    eps: float,
+    tile_i: int = 512,
+    tile_j: int = 1024,
+    interpret: bool = False,
+) -> jnp.ndarray:
+    """All-pairs accelerations via the tiled Pallas kernel.
+
+    m: (n,), x: (n, dim). Returns (n, dim) in x.dtype. float32 only (the
+    TPU has no native f64; double runs use the jnp path).
+    """
+    n, dim = x.shape
+    dtype = x.dtype
+    npad = _round_up(max(n, tile_i, tile_j), max(tile_i, tile_j))
+    xp = jnp.pad(x, ((0, npad - n), (0, 0)))
+    mp = jnp.pad(m, (0, npad - n)).reshape(1, npad)
+    xt = xp.T  # (dim, npad)
+
+    grid = (npad // tile_i, npad // tile_j)
+    kernel = functools.partial(_allpairs_kernel, dim, float(eps))
+
+    out = pl.pallas_call(
+        kernel,
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec((tile_i, dim), lambda i, j: (i, 0)),
+            pl.BlockSpec((dim, tile_j), lambda i, j: (0, j)),
+            pl.BlockSpec((1, tile_j), lambda i, j: (0, j)),
+        ],
+        out_specs=pl.BlockSpec((tile_i, dim), lambda i, j: (i, 0)),
+        out_shape=jax.ShapeDtypeStruct((npad, dim), dtype),
+        cost_estimate=pl.CostEstimate(
+            flops=int(12 * npad) * int(npad),
+            bytes_accessed=int(npad * dim * 4 * (2 + grid[0])),
+            transcendentals=int(npad) * int(npad),
+        ),
+        interpret=interpret,
+    )(xp, xt, mp)
+    return jnp.asarray(G, dtype) * out[:n]

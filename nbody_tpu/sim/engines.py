@@ -1,0 +1,172 @@
+"""Force-engine registry.
+
+Each engine owns one force algorithm and mirrors one of the reference's
+run_* entry points (src/all_pairs.h:108-116, src/octree.h:266, src/bvh.h:327):
+
+  make_step(cfg, opts)     -> jitted state -> state   (force + leapfrog, the
+                              unit of the fast scan loop)
+  make_detailed(cfg, opts) -> state -> (state, {phase: seconds}) for the
+                              --csv-detailed per-phase timing mode
+  csv_phases               -> extra CSV columns after force/accel
+  info(state, cfg)         -> per-step --print-info lines (or None)
+
+The step order is force-then-integrate exactly as the reference kernels()
+lambdas: the force engine fills `a` from current positions, then leapfrog
+advances x/v and rolls ao <- a.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import time as _time
+from typing import Callable
+
+import jax
+
+from nbody_tpu.config import SimConfig
+from nbody_tpu.state import SystemState
+from nbody_tpu.ops.allpairs import allpairs_accel, allpairs_collapsed_accel
+from nbody_tpu.ops.integrator import leapfrog_step
+
+
+@dataclasses.dataclass
+class EngineOptions:
+    """Runtime knobs that do not exist in the reference CLI."""
+    kernel: str = "auto"        # auto|pallas|jnp : all-pairs force backend
+    chunk: int = 2048           # row-chunk for the jnp fallback path
+    fix_z: bool = False         # fix the collapsed-force z-freeze quirk
+    mesh: int = 1               # number of devices to shard bodies over
+    sort_every: int = 1         # re-sort cadence for tree engines
+
+
+def _timed(fn: Callable, *args):
+    t0 = _time.perf_counter()
+    out = fn(*args)
+    jax.block_until_ready(out)
+    return out, _time.perf_counter() - t0
+
+
+class AllPairsEngine:
+    """O(N^2) direct sum (src/all_pairs.h:14-27)."""
+
+    name = "all-pairs"
+    csv_phases: tuple = ()
+    header_in_detailed = False  # all-pairs prints the CSV header only in
+    # --csv-total mode (all_pairs.h:58-66), unlike octree/bvh.
+
+    def __init__(self):
+        pass
+
+    def _accel_fn(self, cfg: SimConfig, opts: EngineOptions):
+        from nbody_tpu.ops.pallas_allpairs import allpairs_accel_pallas, pallas_available
+
+        use_pallas = opts.kernel == "pallas" or (
+            opts.kernel == "auto" and pallas_available()
+        )
+        if opts.mesh > 1:
+            from nbody_tpu.parallel.ring import make_ring_allpairs
+
+            return make_ring_allpairs(cfg, opts.mesh, use_pallas=use_pallas)
+        if use_pallas:
+            return lambda m, x: allpairs_accel_pallas(m, x, cfg.G, cfg.eps)
+        return lambda m, x: allpairs_accel(m, x, cfg.G, cfg.eps, chunk=opts.chunk)
+
+    def make_step(self, cfg: SimConfig, opts: EngineOptions):
+        accel = self._accel_fn(cfg, opts)
+
+        @jax.jit
+        def step(state: SystemState) -> SystemState:
+            a = accel(state.m, state.x)
+            state = dataclasses.replace(state, a=a)
+            return leapfrog_step(state, cfg.dt)
+
+        return step
+
+    def make_detailed(self, cfg: SimConfig, opts: EngineOptions):
+        accel = jax.jit(self._accel_fn(cfg, opts))
+        integrate = jax.jit(lambda s: leapfrog_step(s, cfg.dt))
+
+        def detailed(state: SystemState):
+            a, t_force = _timed(accel, state.m, state.x)
+            state = dataclasses.replace(state, a=a)
+            state, t_accel = _timed(integrate, state)
+            return state, {"force": t_force, "accel": t_accel}
+
+        return detailed
+
+    def info(self, state, cfg):
+        return None
+
+
+class AllPairsCollapsedEngine(AllPairsEngine):
+    """Pair-parallel direct sum (src/all_pairs.h:29-50). Same math; the
+    reference's atomic accumulation touches only components [0] and [1], so
+    by default the z-acceleration is frozen (see allpairs_collapsed_accel)."""
+
+    name = "all-pairs-collapsed"
+
+    def _accel_fn(self, cfg: SimConfig, opts: EngineOptions):
+        base = super()._accel_fn(cfg, opts)
+
+        def accel(m, x, a_old):
+            a = base(m, x)
+            if cfg.dim <= 2 or opts.fix_z:
+                return a
+            import jax.numpy as jnp
+
+            return jnp.concatenate([a[:, :2], a_old[:, 2:]], axis=1)
+
+        return accel
+
+    def make_step(self, cfg: SimConfig, opts: EngineOptions):
+        accel = self._accel_fn(cfg, opts)
+
+        @jax.jit
+        def step(state: SystemState) -> SystemState:
+            a = accel(state.m, state.x, state.a)
+            state = dataclasses.replace(state, a=a)
+            return leapfrog_step(state, cfg.dt)
+
+        return step
+
+    def make_detailed(self, cfg: SimConfig, opts: EngineOptions):
+        accel = jax.jit(self._accel_fn(cfg, opts))
+        integrate = jax.jit(lambda s: leapfrog_step(s, cfg.dt))
+
+        def detailed(state: SystemState):
+            a, t_force = _timed(accel, state.m, state.x, state.a)
+            state = dataclasses.replace(state, a=a)
+            state, t_accel = _timed(integrate, state)
+            return state, {"force": t_force, "accel": t_accel}
+
+        return detailed
+
+
+def get_engine(name: str):
+    try:
+        return ENGINES[name]()
+    except KeyError:
+        raise ValueError(
+            f'Unknown algorithm: "{name}". '
+            "Options are: all-pairs, all-pairs-collapsed, bvh, octree (default)."
+        )
+
+
+def _bvh_engine():
+    from nbody_tpu.sim.tree_engines import BVHEngine
+
+    return BVHEngine()
+
+
+def _octree_engine():
+    from nbody_tpu.sim.tree_engines import OctreeEngine
+
+    return OctreeEngine()
+
+
+ENGINES = {
+    "all-pairs": AllPairsEngine,
+    "all-pairs-collapsed": AllPairsCollapsedEngine,
+    "bvh": _bvh_engine,
+    "octree": _octree_engine,
+}
