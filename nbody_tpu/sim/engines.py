@@ -75,7 +75,7 @@ class AllPairsEngine:
         accel = self._accel_fn(cfg, opts)
 
         @jax.jit
-        def step(state: SystemState) -> SystemState:
+        def step(state: SystemState, k) -> SystemState:
             a = accel(state.m, state.x)
             state = dataclasses.replace(state, a=a)
             return leapfrog_step(state, cfg.dt)
@@ -122,7 +122,7 @@ class AllPairsCollapsedEngine(AllPairsEngine):
         accel = self._accel_fn(cfg, opts)
 
         @jax.jit
-        def step(state: SystemState) -> SystemState:
+        def step(state: SystemState, k) -> SystemState:
             a = accel(state.m, state.x, state.a)
             state = dataclasses.replace(state, a=a)
             return leapfrog_step(state, cfg.dt)

@@ -25,6 +25,7 @@ import sys
 import time as _time
 
 import jax
+import jax.numpy as jnp
 import numpy as np
 
 from nbody_tpu.config import SimConfig
@@ -56,14 +57,17 @@ def _precision_bits(dtype) -> int:
     return np.dtype(dtype).itemsize * 8
 
 
-def _scan_steps(step_fn, state: SystemState, count: int) -> SystemState:
-    """Run `count` steps as one jitted scan (no per-step host sync)."""
+def _scan_steps(step_fn, state: SystemState, count: int, k0: int) -> SystemState:
+    """Run `count` steps as one jitted scan (no per-step host sync).
+    step_fn(state, k) receives the global step index (tree engines use it
+    for re-sort cadence)."""
     if count <= 0:
         return state
 
     @jax.jit
     def run(s):
-        return jax.lax.scan(lambda c, _: (step_fn(c), None), s, None, length=count)[0]
+        ks = k0 + jnp.arange(count)
+        return jax.lax.scan(lambda c, k: (step_fn(c, k), None), s, ks)[0]
 
     return run(state)
 
@@ -117,22 +121,22 @@ def run_algorithm(algo_name: str, cfg: SimConfig, state: SystemState,
         step_fn = engine.make_step(cfg, opts.engine_opts)
         per_step_host = opts.print_info  # host output forces per-step sync
 
-        def run_block(s: SystemState, count: int) -> SystemState:
+        def run_block(s: SystemState, count: int, k0: int) -> SystemState:
             if per_step_host:
-                for _ in range(count):
-                    s = step_fn(s)
+                for k in range(k0, k0 + count):
+                    s = step_fn(s, k)
                     msg = engine.info(s, cfg)
                     if msg:
                         print(msg, file=out, end="")
                 return s
-            return _scan_steps(step_fn, s, count)
+            return _scan_steps(step_fn, s, count, k0)
 
         # warmup loop always runs in full (all_pairs.h:93)
-        state = run_block(state, opts.warmup_steps)
+        state = run_block(state, opts.warmup_steps, 0)
         state.block_until_ready()
         timed = max(0, opts.steps - opts.warmup_steps)
         t0 = _time.perf_counter()
-        state = run_block(state, timed)
+        state = run_block(state, timed, opts.warmup_steps)
         state.block_until_ready()
         dt_total = _time.perf_counter() - t0
         reported_steps = opts.steps - opts.warmup_steps

@@ -1,0 +1,198 @@
+"""Barnes-Hut engines (bvh, octree) wired into the runner interface.
+
+Phase breakdown mirrors the reference's --csv-detailed columns:
+  bvh:    force, accel, bbox, sort, multipoles, force approx  (bvh.h:342)
+  octree: force, accel, clear, bbox, insert, multipoles, force approx
+          (octree.h:280-282) -- in the rebuild-from-sort design there is no
+          clear pass (reported as 0.00) and `insert` maps to the Morton
+          key + sort + topology derivation that replaces CAS insertion.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from nbody_tpu.config import SimConfig
+from nbody_tpu.state import SystemState
+from nbody_tpu.ops.integrator import leapfrog_step
+from nbody_tpu.sim.engines import EngineOptions, _timed
+
+
+class BVHEngine:
+    """Hilbert-sorted implicit BVH (ref: src/bvh.h)."""
+
+    name = "bvh"
+    csv_phases = ("bbox", "sort", "multipoles", "force approx")
+    header_in_detailed = True
+
+    def make_step(self, cfg: SimConfig, opts: EngineOptions):
+        from nbody_tpu.ops.bvh import bvh_step_force
+
+        theta, G, eps = float(cfg.theta), float(cfg.G), cfg.eps
+        sort_every = max(1, opts.sort_every)
+
+        if sort_every == 1:
+            @jax.jit
+            def step(state: SystemState, k) -> SystemState:
+                state, _ = bvh_step_force(state, theta, G, eps)
+                return leapfrog_step(state, cfg.dt)
+
+            return step
+
+        # re-sort cadence > 1 (TPU extension; divergence from the reference,
+        # which re-sorts every step -- positions drift slowly, so the tree
+        # built over a slightly stale sort order is still valid, only its
+        # aabbs grow a little). The cadence is a traced cond on the step
+        # index so it works inside the runner's lax.scan.
+        @jax.jit
+        def step(state: SystemState, k) -> SystemState:
+            state, _ = jax.lax.cond(
+                jnp.mod(k, sort_every) == 0,
+                lambda s: bvh_step_force(s, theta, G, eps, resort=True),
+                lambda s: bvh_step_force(s, theta, G, eps, resort=False),
+                state,
+            )
+            return leapfrog_step(state, cfg.dt)
+
+        return step
+
+    def make_detailed(self, cfg: SimConfig, opts: EngineOptions):
+        from nbody_tpu.ops.bvh import (
+            build_tree,
+            compute_force,
+        )
+        from nbody_tpu.ops.geometry import aabb_of_points
+        from nbody_tpu.ops.hilbert import hilbert_sort_perm
+
+        theta, G, eps = float(cfg.theta), float(cfg.G), cfg.eps
+
+        bbox_fn = jax.jit(lambda x: aabb_of_points(x, eps))
+        perm_fn = jax.jit(hilbert_sort_perm)
+
+        @jax.jit
+        def permute_fn(state, perm):
+            return dataclasses.replace(
+                state, m=state.m[perm], x=state.x[perm], v=state.v[perm],
+                a=state.a[perm], ao=state.ao[perm],
+            )
+
+        build_fn = jax.jit(lambda m, x: build_tree(m, x, eps))
+        force_fn = jax.jit(
+            lambda tree, m, x: compute_force(tree, m, x, theta, G, eps)
+        )
+        integrate = jax.jit(lambda s: leapfrog_step(s, cfg.dt))
+
+        def detailed(state: SystemState):
+            phases = {}
+            (xmin, xmax), phases["bbox"] = _timed(bbox_fn, state.x)
+            perm, t_perm = _timed(perm_fn, state.x, xmin, xmax)
+            state, t_apply = _timed(permute_fn, state, perm)
+            phases["sort"] = t_perm + t_apply
+            tree, phases["multipoles"] = _timed(build_fn, state.m, state.x)
+            a, phases["force approx"] = _timed(force_fn, tree, state.m, state.x)
+            state = dataclasses.replace(state, a=a)
+            phases["force"] = sum(
+                phases[k] for k in ("bbox", "sort", "multipoles", "force approx")
+            )
+            state, phases["accel"] = _timed(integrate, state)
+            self._last_tree = tree
+            return state, phases
+
+        return detailed
+
+    def info(self, state, cfg) -> str:
+        """--print-info: total mass = root monopole mass (bvh.h:377)."""
+        tree = getattr(self, "_last_tree", None)
+        if tree is not None:
+            root_mass = float(np.asarray(tree.mm[0]))
+        else:
+            root_mass = float(np.asarray(jnp.sum(state.m)))
+        return f"Total mass: {root_mass: .5f}\n"
+
+
+class OctreeEngine:
+    """Prefix-derived Barnes-Hut octree (ref: src/octree.h)."""
+
+    name = "octree"
+    csv_phases = ("clear", "bbox", "insert", "multipoles", "force approx")
+    header_in_detailed = True
+
+    def make_step(self, cfg: SimConfig, opts: EngineOptions):
+        from nbody_tpu.ops.octree import max_depth, octree_step_force
+
+        theta, G, eps = float(cfg.theta), float(cfg.G), cfg.eps
+        depth = max_depth(cfg.n, cfg.dim)
+
+        @jax.jit
+        def step(state: SystemState, k) -> SystemState:
+            state, _ = octree_step_force(state, theta, G, eps, depth)
+            return leapfrog_step(state, cfg.dt)
+
+        return step
+
+    def make_detailed(self, cfg: SimConfig, opts: EngineOptions):
+        from nbody_tpu.ops.geometry import scalar_bounds
+        from nbody_tpu.ops.octree import (
+            build_octree,
+            compute_force,
+            max_depth,
+        )
+
+        theta, G, eps = float(cfg.theta), float(cfg.G), cfg.eps
+        depth = max_depth(cfg.n, cfg.dim)
+
+        bounds_fn = jax.jit(scalar_bounds)
+        build_fn = jax.jit(
+            lambda m, x, lo, hi: build_octree(m, x, lo, hi, depth)
+        )
+        force_fn = jax.jit(
+            lambda levels, ms, xs, side: compute_force(
+                levels, ms, xs, side, theta, G, eps
+            )
+        )
+
+        @jax.jit
+        def scatter_fn(a_sorted, perm):
+            return jnp.zeros_like(a_sorted).at[perm].set(a_sorted)
+
+        integrate = jax.jit(lambda s: leapfrog_step(s, cfg.dt))
+
+        def detailed(state: SystemState):
+            phases = {"clear": 0.0}
+            (lo, hi), phases["bbox"] = _timed(bounds_fn, state.x)
+            (levels, perm, ms, xs), phases["insert"] = _timed(
+                build_fn, state.m, state.x, lo, hi
+            )
+            # monopoles are fused into the build (segmented reductions);
+            # report them under "multipoles" as a separate timing of zero
+            phases["multipoles"] = 0.0
+            a_sorted, phases["force approx"] = _timed(
+                force_fn, levels, ms, xs, hi - lo
+            )
+            a, t_scatter = _timed(scatter_fn, a_sorted, perm)
+            phases["force approx"] += t_scatter
+            state = dataclasses.replace(state, a=a)
+            phases["force"] = sum(
+                phases[k]
+                for k in ("clear", "bbox", "insert", "multipoles", "force approx")
+            )
+            state, phases["accel"] = _timed(integrate, state)
+            self._last_levels = levels
+            return state, phases
+
+        return detailed
+
+    def info(self, state, cfg) -> str:
+        """--print-info: tree size and root mass (octree.h:313-316)."""
+        levels = getattr(self, "_last_levels", None)
+        if levels is not None:
+            size = int(np.sum(np.asarray(levels.count) > 0))
+            root_mass = float(np.asarray(levels.mass[0]))
+        else:
+            size = 0
+            root_mass = float(np.asarray(jnp.sum(state.m)))
+        return f"Tree size: {size}\nTotal mass: {root_mass: .5f}\n"

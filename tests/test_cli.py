@@ -114,3 +114,41 @@ def test_save_pos_writes_initial_frame(tmp_path):
     assert (nb, sz, dm) == (8, 4, 2)
     # non-detailed mode writes only the initial frame (all_pairs.h:55,81)
     assert len(raw) == 16 + 8 * 2 * 4
+
+
+def test_octree_cli_run():
+    out = io.StringIO()
+    main(["-n", "64", "-s", "12", "--algorithm", "octree", "--csv-total"], out=out)
+    lines = out.getvalue().strip().splitlines()
+    assert lines[0] == "algorithm,dim,precision,nsteps,nbodies,total [s]"
+    assert lines[1].startswith("octree,2,32,2,64,")
+
+
+def test_bvh_cli_detailed():
+    out = io.StringIO()
+    main(["-n", "32", "-s", "2", "--algorithm", "bvh", "--csv-detailed"], out=out)
+    lines = out.getvalue().strip().splitlines()
+    # bvh prints the header in detailed mode too (bvh.h:340-344)
+    assert lines[0] == (
+        "algorithm,dim,precision,nsteps,nbodies,total [s]"
+        ",force [s],accel [s],bbox [s],sort [s],multipoles [s],force approx [s]"
+    )
+    assert lines[1].startswith("bvh,2,32,2,32,")
+    assert len(lines[1].split(",")) == 12
+
+
+def test_octree_print_info():
+    out = io.StringIO()
+    main(["-n", "16", "-s", "1", "--algorithm", "octree", "--csv-detailed",
+          "--print-info"], out=out)
+    text = out.getvalue()
+    assert "Tree size: " in text
+    assert "Total mass: " in text
+
+
+def test_bvh_3d_double():
+    out = io.StringIO()
+    main(["-n", "24", "-s", "1", "-d", "3", "--precision", "double",
+          "--algorithm", "bvh", "--workload", "galaxy", "--csv-detailed"], out=out)
+    line = out.getvalue().strip().splitlines()[-1]
+    assert line.startswith("bvh,3,64,1,24,")
