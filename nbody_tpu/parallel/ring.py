@@ -68,12 +68,40 @@ def make_ring_allpairs(cfg: SimConfig, n_shards: int, use_pallas: bool = False,
         out_specs=P(BODY_AXIS, None),
     )
 
+    def shard_fn_gathered(m_loc, x_loc):
+        # all-gather the per-shard results so the output is replicated and
+        # can be sliced to a non-divisible body count
+        out = shard_fn(m_loc, x_loc)
+        return jax.lax.all_gather(out, BODY_AXIS, tiled=True)
+
+    try:
+        mapped_gathered = jax.shard_map(
+            shard_fn_gathered,
+            mesh=mesh,
+            in_specs=(P(BODY_AXIS), P(BODY_AXIS, None)),
+            out_specs=P(None, None),
+            check_vma=False,  # all_gather output is replicated by construction
+        )
+    except TypeError:  # older spelling
+        mapped_gathered = jax.shard_map(
+            shard_fn_gathered,
+            mesh=mesh,
+            in_specs=(P(BODY_AXIS), P(BODY_AXIS, None)),
+            out_specs=P(None, None),
+            check_rep=False,
+        )
+
     def accel(m: jnp.ndarray, x: jnp.ndarray) -> jnp.ndarray:
         n = x.shape[0]
         npad = _round_up(n, n_shards)
+        if npad == n:
+            return mapped(m, x)
+        # non-divisible body count: pad with massless bodies; results come
+        # back replicated (slicing a sharded axis to a non-divisible size
+        # is unsupported)
         mp = jnp.pad(m, (0, npad - n))
         xp = jnp.pad(x, ((0, npad - n), (0, 0)))
-        return mapped(mp, xp)[:n]
+        return mapped_gathered(mp, xp)[:n]
 
     return accel
 

@@ -1,0 +1,75 @@
+"""Multi-device sharding on the 8-device virtual CPU mesh
+(SURVEY.md section 4: mesh emulation without hardware)."""
+
+import dataclasses
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+
+from nbody_tpu.config import SimConfig
+from nbody_tpu.ops.allpairs import allpairs_accel_dense
+from nbody_tpu.parallel.mesh import BODY_AXIS, body_mesh
+from nbody_tpu.parallel.ring import make_ring_allpairs
+
+
+def _sys(n, dim, dtype=np.float32, seed=0):
+    rng = np.random.default_rng(seed)
+    m = rng.uniform(0.1, 1.0, n).astype(dtype)
+    x = rng.uniform(-1.0, 1.0, (n, dim)).astype(dtype)
+    return jnp.asarray(m), jnp.asarray(x)
+
+
+def test_mesh_has_8_devices():
+    assert len(jax.devices()) == 8
+
+
+@pytest.mark.parametrize("n", [64, 100])  # 100: not divisible by 8 -> padding
+@pytest.mark.parametrize("dim", [2, 3])
+def test_ring_allpairs_matches_dense(n, dim, f32_eps):
+    m, x = _sys(n, dim)
+    cfg = SimConfig(n=n, dim=dim, dtype=np.float32, G=2.0)
+    ring = make_ring_allpairs(cfg, 8)
+    a_ring = np.asarray(jax.jit(ring)(m, x))
+    a_ref = np.asarray(allpairs_accel_dense(m, x, 2.0, cfg.eps))
+    scale = np.abs(a_ref).max() + 1e-30
+    assert np.abs(a_ring - a_ref).max() / scale < 1e-5
+
+
+def test_ring_on_sharded_inputs(f32_eps):
+    """Ring force with inputs actually placed on the mesh."""
+    from jax.sharding import NamedSharding, PartitionSpec as P
+
+    n, dim = 64, 2
+    m, x = _sys(n, dim)
+    mesh = body_mesh(8)
+    m = jax.device_put(m, NamedSharding(mesh, P(BODY_AXIS)))
+    x = jax.device_put(x, NamedSharding(mesh, P(BODY_AXIS, None)))
+    cfg = SimConfig(n=n, dim=dim, dtype=np.float32, G=1.0)
+    ring = make_ring_allpairs(cfg, 8, mesh=mesh)
+    a = np.asarray(jax.jit(ring)(m, x))
+    # reference computed on host copies (dense broadcast over a sharded
+    # array is illegally sharded)
+    a_ref = np.asarray(
+        allpairs_accel_dense(jnp.asarray(np.asarray(m)), jnp.asarray(np.asarray(x)),
+                             1.0, cfg.eps)
+    )
+    scale = np.abs(a_ref).max() + 1e-30
+    assert np.abs(a - a_ref).max() / scale < 1e-5
+
+
+def test_dryrun_multichip_entry():
+    """The driver's multi-chip dry run: full sharded step on 8 devices."""
+    import __graft_entry__ as ge
+
+    ge.dryrun_multichip(8)
+
+
+def test_entry_compiles():
+    import __graft_entry__ as ge
+
+    fn, args = ge.entry()
+    out = jax.jit(fn)(*args)
+    jax.block_until_ready(out.x)
+    assert out.x.shape == args[0].x.shape
