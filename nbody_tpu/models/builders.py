@@ -28,11 +28,26 @@ _GALAXY_ROT = np.array(
 )
 
 
+def _use_native() -> bool:
+    import os
+
+    if os.environ.get("NBODY_TPU_NO_NATIVE"):
+        return False
+    from nbody_tpu import native
+
+    return native.available()
+
+
 def build_uniform_model(n: int, dim: int, dtype) -> tuple[SimConfig, SystemState]:
     """Uniform box: mass 1/n, pos & vel ~ U(-1,1)^dim; System(n, dt=1e-1, G=1)
     (models.h:12-28). Per body the stream order is pos[0], vel[0], pos[1],
     vel[1], ... (interleaved per dimension)."""
     cfg = SimConfig(n=n, dim=dim, dtype=dtype, dt=1e-1, G=1.0)
+    if _use_native():
+        from nbody_tpu import native
+
+        m, x, v = native.build_uniform(n, dim)
+        return cfg, _to_state(m, x, v, dtype)
     dists = ReferenceDistributions(42)
     draws = dists.sym(2 * dim * n).reshape(n, dim, 2)
     m = np.full((n,), 1.0 / n, dtype=np.float64)
@@ -52,6 +67,11 @@ def build_plummer_model(n: int, dim: int, dtype) -> tuple[SimConfig, SystemState
     if dim != 3:
         raise ValueError(f"Cannot build Plummer model for D={dim}")
     cfg = SimConfig(n=n, dim=3, dtype=dtype, dt=1.0, G=6.674e-11)
+    if _use_native():
+        from nbody_tpu import native
+
+        m, x, v = native.build_plummer(n)
+        return cfg, _to_state(m, x, v, dtype)
     dists = ReferenceDistributions(42)
     m = np.full((n,), 1.0 / n, dtype=np.float64)
     x = np.zeros((n, 3), dtype=np.float64)
@@ -125,6 +145,11 @@ def build_galaxy_model(n: int, dim: int, dtype) -> tuple[SimConfig, SystemState]
     size = int(2 * gal_n)
     cfg = SimConfig(n=size, dim=dim, dtype=dtype, dt=1e1, G=1e-4)
     eps = float(np.finfo(np.dtype(dtype)).eps)
+    if _use_native():
+        from nbody_tpu import native
+
+        m, x, v = native.build_galaxy(n, dim, cfg.G, eps)
+        return cfg, _to_state(m, x, v, dtype)
     dists = ReferenceDistributions(42)
 
     masses, xs, vs = [], [], []
