@@ -36,6 +36,7 @@ _HELP = """Help:
 --chunk N\t\tRow-chunk size for the jnp fallback kernels
 --fix-collapsed-z\t\tFix the reference's frozen-z quirk in all-pairs-collapsed
 --sort-every K\t\tRe-sort bodies every K steps in tree engines (default 1)
+--traversal group|per-body\t\tBVH traversal strategy (default group)
 --save-state file.bin\t\tWrite final state in the loadable format
 --help\t\tDisplay this help message and quit
 """
@@ -66,6 +67,7 @@ def parse_args(argv: list[str]) -> dict:
         "chunk": 2048,
         "fix_z": False,
         "sort_every": 1,
+        "traversal": "group",
         "save_state": None,
     }
     i = 0
@@ -150,6 +152,13 @@ def parse_args(argv: list[str]) -> dict:
         elif flag == "--sort-every":
             i += 1
             args["sort_every"] = int(argv[i])
+        elif flag == "--traversal":
+            i += 1
+            if argv[i] not in ("group", "per-body"):
+                print(f'Unknown traversal: "{argv[i]}".', file=sys.stderr)
+                print("Options are: group (default), per-body.", file=sys.stderr)
+                raise SystemExit(1)
+            args["traversal"] = argv[i]
         elif flag == "--save-state":
             i += 1
             args["save_state"] = argv[i]
@@ -206,6 +215,7 @@ def main(argv: list[str] | None = None, out=None) -> int:
             fix_z=args["fix_z"],
             mesh=args["mesh"],
             sort_every=args["sort_every"],
+            traversal=args["traversal"],
         ),
         out=out,
     )

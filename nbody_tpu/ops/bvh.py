@@ -210,13 +210,18 @@ def compute_force(tree: BVHTree, m: jnp.ndarray, x: jnp.ndarray,
     return jax.vmap(traverse_one)(jnp.arange(n, dtype=jnp.int32), x)
 
 
-@partial(jax.jit, static_argnames=("theta", "G", "eps", "resort"))
+@partial(jax.jit, static_argnames=("theta", "G", "eps", "resort", "traversal"))
 def bvh_step_force(state: SystemState, theta: float, G: float, eps: float,
-                   resort: bool = True):
+                   resort: bool = True, traversal: str = "group"):
     """One BVH force evaluation: bbox -> hilbert sort -> refit -> traversal
     (the kernel sequence of run_bvh, bvh.h:382-397). Returns the PERMUTED
     state with `a` filled -- like the reference, the sort physically reorders
-    the body arrays each step and they stay reordered."""
+    the body arrays each step and they stay reordered.
+
+    traversal="group" uses the tile-based interaction-list evaluation
+    (nbody_tpu.ops.bvh_group; conservative MAC, never less accurate than
+    the reference's); "per-body" is the faithful reference walk.
+    """
     if resort:
         xmin, xmax = aabb_of_points(state.x, eps)
         perm = hilbert_sort_perm(state.x, xmin, xmax)
@@ -229,5 +234,10 @@ def bvh_step_force(state: SystemState, theta: float, G: float, eps: float,
             ao=state.ao[perm],
         )
     tree = build_tree(state.m, state.x, eps)
-    a = compute_force(tree, state.m, state.x, theta, G, eps)
+    if traversal == "group":
+        from nbody_tpu.ops.bvh_group import compute_force_grouped
+
+        a, _ = compute_force_grouped(tree, state.m, state.x, theta, G, eps)
+    else:
+        a = compute_force(tree, state.m, state.x, theta, G, eps)
     return dataclasses.replace(state, a=a), tree

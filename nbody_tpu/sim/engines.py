@@ -37,12 +37,15 @@ class EngineOptions:
     fix_z: bool = False         # fix the collapsed-force z-freeze quirk
     mesh: int = 1               # number of devices to shard bodies over
     sort_every: int = 1         # re-sort cadence for tree engines
+    traversal: str = "group"    # group|per-body : BVH traversal strategy
 
 
 def _timed(fn: Callable, *args):
+    from nbody_tpu.utils.timing import sync
+
     t0 = _time.perf_counter()
     out = fn(*args)
-    jax.block_until_ready(out)
+    sync(out)  # block_until_ready does not block on the axon tunnel
     return out, _time.perf_counter() - t0
 
 

@@ -32,6 +32,7 @@ from nbody_tpu.config import SimConfig
 from nbody_tpu.state import SystemState, format_state
 from nbody_tpu.io.saving import Saver
 from nbody_tpu.sim.engines import EngineOptions, get_engine
+from nbody_tpu.utils.timing import sync
 
 
 @dataclasses.dataclass
@@ -57,19 +58,17 @@ def _precision_bits(dtype) -> int:
     return np.dtype(dtype).itemsize * 8
 
 
-def _scan_steps(step_fn, state: SystemState, count: int, k0: int) -> SystemState:
-    """Run `count` steps as one jitted scan (no per-step host sync).
-    step_fn(state, k) receives the global step index (tree engines use it
-    for re-sort cadence)."""
-    if count <= 0:
-        return state
+def _make_scan(step_fn, count: int, k0: int):
+    """Jitted scan of `count` steps (no per-step host sync). step_fn(state,
+    k) receives the global step index (tree engines use it for re-sort
+    cadence)."""
 
     @jax.jit
     def run(s):
         ks = k0 + jnp.arange(count)
         return jax.lax.scan(lambda c, k: (step_fn(c, k), None), s, ks)[0]
 
-    return run(state)
+    return run
 
 
 def run_algorithm(algo_name: str, cfg: SimConfig, state: SystemState,
@@ -115,29 +114,42 @@ def run_algorithm(algo_name: str, cfg: SimConfig, state: SystemState,
                 if msg:
                     print(msg, file=out, end="")
             saver.save_all(state, cfg)
-        state.block_until_ready()
+        sync(state)
         dt_total = _time.perf_counter() - t0
     else:
         step_fn = engine.make_step(cfg, opts.engine_opts)
         per_step_host = opts.print_info  # host output forces per-step sync
-
-        def run_block(s: SystemState, count: int, k0: int) -> SystemState:
-            if per_step_host:
-                for k in range(k0, k0 + count):
-                    s = step_fn(s, k)
-                    msg = engine.info(s, cfg)
-                    if msg:
-                        print(msg, file=out, end="")
-                return s
-            return _scan_steps(step_fn, s, count, k0)
-
-        # warmup loop always runs in full (all_pairs.h:93)
-        state = run_block(state, opts.warmup_steps, 0)
-        state.block_until_ready()
         timed = max(0, opts.steps - opts.warmup_steps)
-        t0 = _time.perf_counter()
-        state = run_block(state, timed, opts.warmup_steps)
-        state.block_until_ready()
+
+        def run_per_step(s: SystemState, count: int, k0: int) -> SystemState:
+            for k in range(k0, k0 + count):
+                s = step_fn(s, k)
+                msg = engine.info(s, cfg)
+                if msg:
+                    print(msg, file=out, end="")
+            return s
+
+        if per_step_host:
+            state = run_per_step(state, opts.warmup_steps, 0)
+            sync(state)
+            t0 = _time.perf_counter()
+            state = run_per_step(state, timed, opts.warmup_steps)
+            sync(state)
+        else:
+            # precompile the timed block BEFORE the timer so the reported
+            # seconds measure execution, not XLA compilation (the reference
+            # binary is compiled ahead of time too)
+            warm_run = _make_scan(step_fn, opts.warmup_steps, 0)
+            timed_run = _make_scan(step_fn, timed, opts.warmup_steps) if timed else None
+            if timed_run is not None:
+                timed_run = timed_run.lower(state).compile()
+            if opts.warmup_steps > 0:
+                state = warm_run(state)
+            sync(state)
+            t0 = _time.perf_counter()
+            if timed_run is not None:
+                state = timed_run(state)
+            sync(state)
         dt_total = _time.perf_counter() - t0
         reported_steps = opts.steps - opts.warmup_steps
 

@@ -34,11 +34,12 @@ class BVHEngine:
 
         theta, G, eps = float(cfg.theta), float(cfg.G), cfg.eps
         sort_every = max(1, opts.sort_every)
+        trav = opts.traversal
 
         if sort_every == 1:
             @jax.jit
             def step(state: SystemState, k) -> SystemState:
-                state, _ = bvh_step_force(state, theta, G, eps)
+                state, _ = bvh_step_force(state, theta, G, eps, traversal=trav)
                 return leapfrog_step(state, cfg.dt)
 
             return step
@@ -52,8 +53,10 @@ class BVHEngine:
         def step(state: SystemState, k) -> SystemState:
             state, _ = jax.lax.cond(
                 jnp.mod(k, sort_every) == 0,
-                lambda s: bvh_step_force(s, theta, G, eps, resort=True),
-                lambda s: bvh_step_force(s, theta, G, eps, resort=False),
+                lambda s: bvh_step_force(s, theta, G, eps, resort=True,
+                                         traversal=trav),
+                lambda s: bvh_step_force(s, theta, G, eps, resort=False,
+                                         traversal=trav),
                 state,
             )
             return leapfrog_step(state, cfg.dt)
@@ -81,9 +84,18 @@ class BVHEngine:
             )
 
         build_fn = jax.jit(lambda m, x: build_tree(m, x, eps))
-        force_fn = jax.jit(
-            lambda tree, m, x: compute_force(tree, m, x, theta, G, eps)
-        )
+        if opts.traversal == "group":
+            from nbody_tpu.ops.bvh_group import compute_force_grouped
+
+            force_fn = jax.jit(
+                lambda tree, m, x: compute_force_grouped(
+                    tree, m, x, theta, G, eps
+                )[0]
+            )
+        else:
+            force_fn = jax.jit(
+                lambda tree, m, x: compute_force(tree, m, x, theta, G, eps)
+            )
         integrate = jax.jit(lambda s: leapfrog_step(s, cfg.dt))
 
         def detailed(state: SystemState):

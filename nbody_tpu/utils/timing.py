@@ -1,0 +1,21 @@
+"""Device synchronization for timing.
+
+jax.block_until_ready does NOT reliably wait for execution on the axon
+TPU tunnel backend (dispatch returns immediately; only a host transfer
+forces completion). sync() pulls one scalar element from each array leaf,
+which forces the producing computation to finish with negligible transfer
+cost -- the moral equivalent of the reference's per-kernel device sync
+when it reads timers (timer.h:6-11).
+"""
+
+from __future__ import annotations
+
+import jax
+import numpy as np
+
+
+def sync(tree) -> None:
+    for leaf in jax.tree_util.tree_leaves(tree):
+        if hasattr(leaf, "ndim"):
+            idx = (0,) * leaf.ndim
+            np.asarray(jax.device_get(leaf[idx] if leaf.ndim else leaf))

@@ -122,3 +122,16 @@ def test_check_state_bin_vs_csv(traj_files, tmp_path, capsys):
     assert "difference per body is" in out
     per_body = float(out.strip().splitlines()[-1].split()[-1])
     assert per_body < 1e-5
+
+
+def test_nasa_pipeline_synthetic(tmp_path, capsys):
+    """The ci/thuering-equivalent pipeline: synthetic SBDB csv -> convert ->
+    two independent engines at theta=0.6 -> L1 comparison."""
+    import nasa
+
+    nasa.main(["--synthetic", "150", "--steps", "3",
+               "--workdir", str(tmp_path / "nasa")])
+    out = capsys.readouterr().out
+    line = [l for l in out.splitlines() if "per body" in l][-1]
+    per_body = float(line.split()[-1])
+    assert per_body < 1e-10
