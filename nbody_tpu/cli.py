@@ -38,6 +38,7 @@ _HELP = """Help:
 --sort-every K\t\tRe-sort bodies every K steps in tree engines (default 1)
 --traversal group|per-body\t\tBVH traversal strategy (default group)
 --save-state file.bin\t\tWrite final state in the loadable format
+--profile DIR\t\tCapture a jax.profiler trace of the run into DIR
 --help\t\tDisplay this help message and quit
 """
 
@@ -69,6 +70,7 @@ def parse_args(argv: list[str]) -> dict:
         "sort_every": 1,
         "traversal": "group",
         "save_state": None,
+        "profile": None,
     }
     i = 0
     while i < len(argv):
@@ -162,6 +164,9 @@ def parse_args(argv: list[str]) -> dict:
         elif flag == "--save-state":
             i += 1
             args["save_state"] = argv[i]
+        elif flag == "--profile":
+            i += 1
+            args["profile"] = argv[i]
         elif flag in ("--help", "-h"):
             print(_HELP, end="")
             raise SystemExit(0)
@@ -219,7 +224,16 @@ def main(argv: list[str] | None = None, out=None) -> int:
         ),
         out=out,
     )
-    state = run_simulation(args["algorithm"], cfg, state, opts)
+    if args["profile"]:
+        # TPU-native analog of the reference's nsys/ncu wrappers
+        # (ci/run:167-172): capture an XLA trace viewable in TensorBoard /
+        # Perfetto.
+        import jax
+
+        with jax.profiler.trace(args["profile"]):
+            state = run_simulation(args["algorithm"], cfg, state, opts)
+    else:
+        state = run_simulation(args["algorithm"], cfg, state, opts)
     if args["save_state"]:
         from nbody_tpu.io.saving import save_system
 

@@ -225,13 +225,19 @@ def bvh_step_force(state: SystemState, theta: float, G: float, eps: float,
     if resort:
         xmin, xmax = aabb_of_points(state.x, eps)
         perm = hilbert_sort_perm(state.x, xmin, xmax)
-        state = dataclasses.replace(
-            state,
-            m=state.m[perm],
-            x=state.x[perm],
-            v=state.v[perm],
-            a=state.a[perm],
-            ao=state.ao[perm],
+        # pack all body arrays into one (n, 1+4*dim) matrix so the
+        # permutation is a single gather (five separate gathers measured
+        # ~4x slower at n=100k)
+        n, dim = state.x.shape
+        packed = jnp.concatenate(
+            [state.m[:, None], state.x, state.v, state.a, state.ao], axis=1
+        )[perm]
+        state = SystemState(
+            m=packed[:, 0],
+            x=packed[:, 1 : 1 + dim],
+            v=packed[:, 1 + dim : 1 + 2 * dim],
+            a=packed[:, 1 + 2 * dim : 1 + 3 * dim],
+            ao=packed[:, 1 + 3 * dim : 1 + 4 * dim],
         )
     tree = build_tree(state.m, state.x, eps)
     if traversal == "group":

@@ -100,64 +100,92 @@ def compute_force_grouped(
 
     mm, mx, bw = tree.mm, tree.mx, tree.bw
 
-    # ---- level-synchronous frontier traversal -------------------------
-    # One pass per tree level (log2 n unrolled passes, everything wide):
-    # each tile carries a bounded frontier of open nodes; per level we
-    # gather all (tile, node) monopoles at once, apply the group MAC,
-    # route accepted nodes to the interaction list, and expand the rest
-    # into the next level's frontier with a per-row mask compaction
-    # (argsort). This replaces a vmapped while_loop whose thousands of
-    # sequential tiny gathers dominated the step time.
+    # ---- level-synchronous traversal ---------------------------------
+    # One pass per tree level, everything wide. Two regimes:
+    #   * shallow levels (2^l <= F): the "frontier" is simply ALL nodes of
+    #     the level with an open/closed mask -- node data comes from
+    #     contiguous heap SLICES (free), children masks are a repeat, no
+    #     gathers and no compaction at all;
+    #   * deep levels: a compacted frontier of node indices per tile.
+    #     Compaction is cumsum + batched binary search (searchsorted) +
+    #     one gather -- an argsort-based compaction was measured to
+    #     dominate the whole force step (bitonic sort of ~10k-wide rows).
     last_level = nlevels - 1
-    # frontier capacity: every open node eventually yields >=1 list entry,
-    # so the open set is bounded by the total interaction-list budget
-    F = cap_nodes + cap_leaves
+    F = max(cap_nodes, cap_leaves)
+    dense_levels = [l for l in range(nlevels) if (1 << l) <= 2 * F]
+    n_dense = len(dense_levels)
 
     def compact_rows(values, valid, width):
-        """Pack valid entries of each row to the front, padding or slicing
-        to `width` columns; returns (values, valid, counts)."""
-        order = jnp.argsort(~valid, axis=1, stable=True)
-        packed = jnp.take_along_axis(values, order, axis=1)[:, :width]
-        pvalid = jnp.take_along_axis(valid, order, axis=1)[:, :width]
-        short = width - packed.shape[1]
-        if short > 0:
-            packed = jnp.pad(packed, ((0, 0), (0, short)))
-            pvalid = jnp.pad(pvalid, ((0, 0), (0, short)))
-        return packed, pvalid, jnp.sum(valid, axis=1)
+        """Pack valid entries of each row to the front, padding/slicing to
+        `width` columns; returns (values, valid, counts). Sort-free:
+        output slot k takes the k-th valid entry, located by binary search
+        over the running count of valid entries."""
+        csum = jnp.cumsum(valid.astype(jnp.int32), axis=1)
+        counts = csum[:, -1]
+        ks = jnp.arange(1, width + 1, dtype=jnp.int32)
+        src = jax.vmap(lambda c: jnp.searchsorted(c, ks, side="left"))(csum)
+        src = jnp.minimum(src, values.shape[1] - 1)
+        packed = jnp.take_along_axis(values, src, axis=1)
+        pvalid = ks <= counts[:, None]
+        return packed, pvalid, counts
 
-    frontier = jnp.zeros((ntiles, 1), jnp.int32)        # root
-    fvalid = jnp.ones((ntiles, 1), jnp.bool_)
-    acc_idx = []    # accepted node indices per level (masked)
+    acc_idx = []     # accepted node indices per level (masked, variable width)
     acc_valid = []
     leaf_idx = None
     leaf_valid = None
-    tile_over = jnp.zeros((ntiles,), jnp.bool_)  # any cap overflow per tile
+    tile_over = jnp.zeros((ntiles,), jnp.bool_)
 
-    for level in range(nlevels):
-        t = frontier
-        tc = jnp.clip(t, 0, nnodes - 1)
-        com = mx[tc]                                    # (ntiles, f, dim)
-        w = bw[tc]
+    def mac_accept(com, w, valid_mask):
+        """Group MAC for (ntiles, W, dim) node data."""
         dmin_v = jnp.maximum(tmin[:, None, :] - com, jnp.zeros((), dtype))
         dmin_v = jnp.maximum(dmin_v, com - tmax[:, None, :])
         dmin2 = jnp.sum(dmin_v * dmin_v, axis=-1)
-        accept = fvalid & (w * w < theta2 * dmin2)
-        open_ = fvalid & ~accept
+        return valid_mask & (w * w < theta2 * dmin2)
+
+    # --- dense shallow levels: open-mask propagation over whole levels
+    open_mask = jnp.ones((ntiles, 1), jnp.bool_)   # level 0: root open?
+    for l in dense_levels:
+        lo_i, hi_i = (1 << l) - 1, (1 << (l + 1)) - 1
+        com = jnp.broadcast_to(mx[lo_i:hi_i][None], (ntiles, hi_i - lo_i, dim))
+        w = jnp.broadcast_to(bw[lo_i:hi_i][None], (ntiles, hi_i - lo_i))
+        accept = mac_accept(com, w, open_mask)
+        open_ = open_mask & ~accept
+        idxs = jnp.broadcast_to(
+            jnp.arange(lo_i, hi_i, dtype=jnp.int32)[None], open_.shape
+        )
+        acc_idx.append(idxs)
+        acc_valid.append(accept)
+        if l == last_level:
+            leaf_idx = 2 * (idxs - lo_i)
+            leaf_valid = open_
+        elif l == dense_levels[-1] and n_dense < nlevels:
+            # transition to the sparse regime: compact this level's open set
+            frontier, fvalid, counts = compact_rows(
+                2 * idxs + 1, open_, F
+            )  # store LEFT child; right child is +1
+            tile_over = tile_over | (counts > F)
+        else:
+            open_mask = jnp.repeat(open_, 2, axis=1)
+
+    # --- sparse deep levels: compacted frontier of left-child indices
+    for l in range(n_dense, nlevels):
+        # expand stored left children into both siblings
+        kids = jnp.stack([frontier, frontier + 1], axis=-1).reshape(ntiles, -1)
+        kvalid = jnp.repeat(fvalid, 2, axis=1)
+        tc = jnp.clip(kids, 0, nnodes - 1)
+        com = mx[tc]
+        w = bw[tc]
+        accept = mac_accept(com, w, kvalid)
+        open_ = kvalid & ~accept
         acc_idx.append(tc)
         acc_valid.append(accept)
-        if level == last_level:
-            # open deepest nodes direct-sum their body pairs; the pair's
-            # first body index is 2 * (t - first_node_of_level)
+        if l == last_level:
             first = (1 << last_level) - 1
             leaf_idx = 2 * (tc - first)
             leaf_valid = open_
         else:
-            kids = jnp.stack([2 * t + 1, 2 * t + 2], axis=-1)
-            kids = kids.reshape(ntiles, -1)
-            kvalid = jnp.repeat(open_, 2, axis=1)
-            width = min(kids.shape[1], F)
-            frontier, fvalid, counts = compact_rows(kids, kvalid, width)
-            tile_over = tile_over | (counts > width)
+            frontier, fvalid, counts = compact_rows(2 * tc + 1, open_, F)
+            tile_over = tile_over | (counts > F)
 
     # compact the per-level accepted lists into one bounded list per tile
     all_idx = jnp.concatenate(acc_idx, axis=1)
@@ -170,7 +198,6 @@ def compute_force_grouped(
     lcnt = jnp.minimum(lcount, cap_leaves)
     nodes = jnp.where(nvalid, nodes, 0)
     leaves = jnp.where(lvalid, leaves, 0)
-
 
     # ---- dense evaluation, chunked over tiles to bound memory
     lane = jnp.arange(cap_nodes)

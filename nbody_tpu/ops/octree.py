@@ -328,15 +328,24 @@ def compute_force(levels: OctreeLevels, ms: jnp.ndarray, xs: jnp.ndarray,
     return jax.vmap(traverse_one)(xs)
 
 
-@partial(jax.jit, static_argnames=("theta", "G", "eps", "depth"))
+@partial(jax.jit, static_argnames=("theta", "G", "eps", "depth", "traversal"))
 def octree_step_force(state: SystemState, theta: float, G: float, eps: float,
-                      depth: int):
+                      depth: int, traversal: str = "group"):
     """One octree force evaluation: bounds -> morton sort -> segmented build
     -> MAC traversal -> scatter back to original body order (the kernel
     sequence of run_octree, octree.h:321-328, minus clear/insert which do
-    not exist in a rebuild-from-sort design)."""
+    not exist in a rebuild-from-sort design). traversal="group" uses the
+    tile-based interaction lists (nbody_tpu.ops.octree_group); "per-body"
+    is the faithful per-body walk."""
     lo, hi = scalar_bounds(state.x)
     levels, perm, ms, xs = build_octree(state.m, state.x, lo, hi, depth)
-    a_sorted = compute_force(levels, ms, xs, hi - lo, theta, G, eps)
+    if traversal == "group":
+        from nbody_tpu.ops.octree_group import compute_force_grouped
+
+        a_sorted, _ = compute_force_grouped(
+            levels, ms, xs, hi - lo, theta, G, eps
+        )
+    else:
+        a_sorted = compute_force(levels, ms, xs, hi - lo, theta, G, eps)
     a = jnp.zeros_like(a_sorted).at[perm].set(a_sorted)
     return dataclasses.replace(state, a=a), levels

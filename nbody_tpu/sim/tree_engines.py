@@ -138,10 +138,12 @@ class OctreeEngine:
 
         theta, G, eps = float(cfg.theta), float(cfg.G), cfg.eps
         depth = max_depth(cfg.n, cfg.dim)
+        trav = opts.traversal
 
         @jax.jit
         def step(state: SystemState, k) -> SystemState:
-            state, _ = octree_step_force(state, theta, G, eps, depth)
+            state, _ = octree_step_force(state, theta, G, eps, depth,
+                                         traversal=trav)
             return leapfrog_step(state, cfg.dt)
 
         return step
@@ -161,11 +163,22 @@ class OctreeEngine:
         build_fn = jax.jit(
             lambda m, x, lo, hi: build_octree(m, x, lo, hi, depth)
         )
-        force_fn = jax.jit(
-            lambda levels, ms, xs, side: compute_force(
-                levels, ms, xs, side, theta, G, eps
+        if opts.traversal == "group":
+            from nbody_tpu.ops.octree_group import (
+                compute_force_grouped as octree_grouped,
             )
-        )
+
+            force_fn = jax.jit(
+                lambda levels, ms, xs, side: octree_grouped(
+                    levels, ms, xs, side, theta, G, eps
+                )[0]
+            )
+        else:
+            force_fn = jax.jit(
+                lambda levels, ms, xs, side: compute_force(
+                    levels, ms, xs, side, theta, G, eps
+                )
+            )
 
         @jax.jit
         def scatter_fn(a_sorted, perm):

@@ -244,3 +244,44 @@ def test_group_no_overflow_on_galaxy(f32_eps):
     assert int(info["leaf_overflow"]) == 0
     assert int(info["fallback_tiles"]) <= 4
     assert np.all(np.isfinite(np.asarray(a)))
+
+
+def test_octree_group_theta0_equals_direct_sum(f32_eps):
+    m, x = _system(150, 2, clustered=True, seed=3)
+    st = _state(m, x)
+    out, _ = octree_step_force(st, 0.0, 1.0, f32_eps, max_depth(150, 2),
+                               traversal="group")
+    a_ref = _allpairs_octree_softening(m, x, 1.0, f32_eps)
+    scale = float(jnp.max(jnp.abs(a_ref))) + 1e-30
+    assert float(jnp.max(jnp.abs(out.a - a_ref))) / scale < 1e-4
+
+
+@pytest.mark.parametrize("dim", [2, 3])
+def test_octree_group_at_least_as_accurate(dim, f32_eps):
+    m, x = _system(600, dim, clustered=True, seed=4)
+    st = _state(m, x)
+    depth = max_depth(600, dim)
+    out_g, _ = octree_step_force(st, 0.5, 1.0, f32_eps, depth, traversal="group")
+    out_p, _ = octree_step_force(st, 0.5, 1.0, f32_eps, depth, traversal="per-body")
+    a_exact = _allpairs_octree_softening(m, x, 1.0, f32_eps)
+    err_g = float(jnp.linalg.norm(out_g.a - a_exact))
+    err_p = float(jnp.linalg.norm(out_p.a - a_exact))
+    assert err_g <= err_p * 1.01 + 1e-12, (err_g, err_p)
+    den = float(jnp.linalg.norm(a_exact)) + 1e-30
+    assert err_g / den < 0.02
+
+
+def test_octree_group_galaxy_no_residual_overflow(f32_eps):
+    from nbody_tpu.models import build_galaxy_model
+    from nbody_tpu.ops.octree import build_octree
+    from nbody_tpu.ops.octree_group import compute_force_grouped
+    from nbody_tpu.ops.geometry import scalar_bounds
+
+    cfg, s = build_galaxy_model(20_000, 2, np.float32)
+    lo, hi = scalar_bounds(s.x)
+    depth = max_depth(20_000, 2)
+    levels, perm, ms, xs = build_octree(s.m, s.x, lo, hi, depth)
+    a, info = compute_force_grouped(levels, ms, xs, hi - lo, 0.5, cfg.G, f32_eps)
+    assert int(info["node_overflow"]) == 0
+    assert int(info["leaf_overflow"]) == 0
+    assert np.all(np.isfinite(np.asarray(a)))
