@@ -36,7 +36,8 @@ _HELP = """Help:
 --chunk N\t\tRow-chunk size for the jnp fallback kernels
 --fix-collapsed-z\t\tFix the reference's frozen-z quirk in all-pairs-collapsed
 --sort-every K\t\tRe-sort bodies every K steps in tree engines (default 1)
---traversal group|per-body\t\tBVH traversal strategy (default group)
+--traversal group|per-body\t\tTree traversal strategy (default group)
+--group-tile N\t\tBodies per tile in group traversal (default 512)
 --save-state file.bin\t\tWrite final state in the loadable format
 --profile DIR\t\tCapture a jax.profiler trace of the run into DIR
 --help\t\tDisplay this help message and quit
@@ -69,6 +70,7 @@ def parse_args(argv: list[str]) -> dict:
         "fix_z": False,
         "sort_every": 1,
         "traversal": "group",
+        "group_tile": 512,
         "save_state": None,
         "profile": None,
     }
@@ -161,6 +163,9 @@ def parse_args(argv: list[str]) -> dict:
                 print("Options are: group (default), per-body.", file=sys.stderr)
                 raise SystemExit(1)
             args["traversal"] = argv[i]
+        elif flag == "--group-tile":
+            i += 1
+            args["group_tile"] = int(argv[i])
         elif flag == "--save-state":
             i += 1
             args["save_state"] = argv[i]
@@ -221,6 +226,7 @@ def main(argv: list[str] | None = None, out=None) -> int:
             mesh=args["mesh"],
             sort_every=args["sort_every"],
             traversal=args["traversal"],
+            group_tile=args["group_tile"],
         ),
         out=out,
     )

@@ -210,9 +210,11 @@ def compute_force(tree: BVHTree, m: jnp.ndarray, x: jnp.ndarray,
     return jax.vmap(traverse_one)(jnp.arange(n, dtype=jnp.int32), x)
 
 
-@partial(jax.jit, static_argnames=("theta", "G", "eps", "resort", "traversal"))
+@partial(jax.jit, static_argnames=("theta", "G", "eps", "resort", "traversal",
+                                   "group_tile"))
 def bvh_step_force(state: SystemState, theta: float, G: float, eps: float,
-                   resort: bool = True, traversal: str = "group"):
+                   resort: bool = True, traversal: str = "group",
+                   group_tile: int = 512):
     """One BVH force evaluation: bbox -> hilbert sort -> refit -> traversal
     (the kernel sequence of run_bvh, bvh.h:382-397). Returns the PERMUTED
     state with `a` filled -- like the reference, the sort physically reorders
@@ -243,7 +245,8 @@ def bvh_step_force(state: SystemState, theta: float, G: float, eps: float,
     if traversal == "group":
         from nbody_tpu.ops.bvh_group import compute_force_grouped
 
-        a, _ = compute_force_grouped(tree, state.m, state.x, theta, G, eps)
+        a, _ = compute_force_grouped(tree, state.m, state.x, theta, G, eps,
+                                     tile=group_tile)
     else:
         a = compute_force(tree, state.m, state.x, theta, G, eps)
     return dataclasses.replace(state, a=a), tree

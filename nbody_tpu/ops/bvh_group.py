@@ -65,7 +65,7 @@ def compute_force_grouped(
     theta: float,
     G: float,
     eps: float,
-    tile: int = 128,
+    tile: int = 512,
     cap_nodes: int | None = None,
     cap_leaves: int | None = None,
     chunk: int = 8,
@@ -118,13 +118,23 @@ def compute_force_grouped(
     def compact_rows(values, valid, width):
         """Pack valid entries of each row to the front, padding/slicing to
         `width` columns; returns (values, valid, counts). Sort-free:
-        output slot k takes the k-th valid entry, located by binary search
-        over the running count of valid entries."""
+        output slot k takes the k-th valid entry, located by a statically
+        UNROLLED batched binary search over the running valid count
+        (jnp.searchsorted lowers to a serial while loop that was measured
+        at ~265 ms per call on TPU)."""
         csum = jnp.cumsum(valid.astype(jnp.int32), axis=1)
         counts = csum[:, -1]
-        ks = jnp.arange(1, width + 1, dtype=jnp.int32)
-        src = jax.vmap(lambda c: jnp.searchsorted(c, ks, side="left"))(csum)
-        src = jnp.minimum(src, values.shape[1] - 1)
+        W = values.shape[1]
+        ks = jnp.arange(1, width + 1, dtype=jnp.int32)[None, :]
+        lo = jnp.zeros((values.shape[0], width), jnp.int32)
+        hi = jnp.full((values.shape[0], width), W, jnp.int32)
+        for _ in range(max(1, W.bit_length())):
+            mid = (lo + hi) // 2
+            v = jnp.take_along_axis(csum, jnp.minimum(mid, W - 1), axis=1)
+            go_right = v < ks
+            lo = jnp.where(go_right, mid + 1, lo)
+            hi = jnp.where(go_right, hi, mid)
+        src = jnp.minimum(lo, W - 1)
         packed = jnp.take_along_axis(values, src, axis=1)
         pvalid = ks <= counts[:, None]
         return packed, pvalid, counts

@@ -38,6 +38,7 @@ class EngineOptions:
     mesh: int = 1               # number of devices to shard bodies over
     sort_every: int = 1         # re-sort cadence for tree engines
     traversal: str = "group"    # group|per-body : BVH traversal strategy
+    group_tile: int = 512       # bodies per tile in group traversal
 
 
 def _timed(fn: Callable, *args):

@@ -35,11 +35,13 @@ class BVHEngine:
         theta, G, eps = float(cfg.theta), float(cfg.G), cfg.eps
         sort_every = max(1, opts.sort_every)
         trav = opts.traversal
+        gtile = opts.group_tile
 
         if sort_every == 1:
             @jax.jit
             def step(state: SystemState, k) -> SystemState:
-                state, _ = bvh_step_force(state, theta, G, eps, traversal=trav)
+                state, _ = bvh_step_force(state, theta, G, eps, traversal=trav,
+                                          group_tile=gtile)
                 return leapfrog_step(state, cfg.dt)
 
             return step
@@ -54,9 +56,9 @@ class BVHEngine:
             state, _ = jax.lax.cond(
                 jnp.mod(k, sort_every) == 0,
                 lambda s: bvh_step_force(s, theta, G, eps, resort=True,
-                                         traversal=trav),
+                                         traversal=trav, group_tile=gtile),
                 lambda s: bvh_step_force(s, theta, G, eps, resort=False,
-                                         traversal=trav),
+                                         traversal=trav, group_tile=gtile),
                 state,
             )
             return leapfrog_step(state, cfg.dt)
@@ -89,7 +91,7 @@ class BVHEngine:
 
             force_fn = jax.jit(
                 lambda tree, m, x: compute_force_grouped(
-                    tree, m, x, theta, G, eps
+                    tree, m, x, theta, G, eps, tile=opts.group_tile
                 )[0]
             )
         else:
@@ -139,11 +141,12 @@ class OctreeEngine:
         theta, G, eps = float(cfg.theta), float(cfg.G), cfg.eps
         depth = max_depth(cfg.n, cfg.dim)
         trav = opts.traversal
+        gtile = opts.group_tile
 
         @jax.jit
         def step(state: SystemState, k) -> SystemState:
             state, _ = octree_step_force(state, theta, G, eps, depth,
-                                         traversal=trav)
+                                         traversal=trav, group_tile=gtile)
             return leapfrog_step(state, cfg.dt)
 
         return step
@@ -170,7 +173,8 @@ class OctreeEngine:
 
             force_fn = jax.jit(
                 lambda levels, ms, xs, side: octree_grouped(
-                    levels, ms, xs, side, theta, G, eps
+                    levels, ms, xs, side, theta, G, eps,
+                    tile=opts.group_tile
                 )[0]
             )
         else:
