@@ -177,6 +177,16 @@ def compute_force_grouped(
         else:
             open_mask = jnp.repeat(open_, 2, axis=1)
 
+    # compact the dense levels' accepted entries once (total width is
+    # bounded by ~4F); sparse levels then MERGE into the running list per
+    # level so peak memory stays O(ntiles * F) instead of O(ntiles *
+    # levels * F) -- the monolithic concat allocated ~600 MB at n=1M and
+    # crashed the TPU worker
+    all_idx = jnp.concatenate(acc_idx, axis=1)
+    all_valid = jnp.concatenate(acc_valid, axis=1)
+    nodes, nvalid, ncount = compact_rows(all_idx, all_valid, cap_nodes)
+    tile_over = tile_over | (ncount > cap_nodes)
+
     # --- sparse deep levels: compacted frontier of left-child indices
     for l in range(n_dense, nlevels):
         # expand stored left children into both siblings
@@ -187,8 +197,13 @@ def compute_force_grouped(
         w = bw[tc]
         accept = mac_accept(com, w, kvalid)
         open_ = kvalid & ~accept
-        acc_idx.append(tc)
-        acc_valid.append(accept)
+        # merge this level's accepted nodes into the running list
+        nodes, nvalid, ncount = compact_rows(
+            jnp.concatenate([jnp.where(nvalid, nodes, 0), tc], axis=1),
+            jnp.concatenate([nvalid, accept], axis=1),
+            cap_nodes,
+        )
+        tile_over = tile_over | (ncount > cap_nodes)
         if l == last_level:
             first = (1 << last_level) - 1
             leaf_idx = 2 * (tc - first)
@@ -197,11 +212,6 @@ def compute_force_grouped(
             frontier, fvalid, counts = compact_rows(2 * tc + 1, open_, F)
             tile_over = tile_over | (counts > F)
 
-    # compact the per-level accepted lists into one bounded list per tile
-    all_idx = jnp.concatenate(acc_idx, axis=1)
-    all_valid = jnp.concatenate(acc_valid, axis=1)
-    nodes, nvalid, ncount = compact_rows(all_idx, all_valid, cap_nodes)
-    tile_over = tile_over | (ncount > cap_nodes)
     ncnt = jnp.minimum(ncount, cap_nodes)
     leaves, lvalid, lcount = compact_rows(leaf_idx, leaf_valid, cap_leaves)
     tile_over = tile_over | (lcount > cap_leaves)

@@ -192,6 +192,14 @@ def compute_force_grouped(
             tile_over = tile_over | (counts > F)
         open_prev = open_
 
+    # compact the dense levels' accepted entries once; sparse levels merge
+    # into the running list per level (bounded peak memory -- see
+    # bvh_group for the rationale)
+    all_idx = jnp.concatenate(acc_idx, axis=1)
+    all_valid = jnp.concatenate(acc_valid, axis=1)
+    nodes, nvalid, ncount = compact_rows(all_idx, all_valid, cap_nodes)
+    tile_over = tile_over | (ncount > cap_nodes)
+
     for l in range(n_dense, depth + 1):
         # expand frontier (level l-1 local indices) into level-l candidates
         pf = jnp.clip(frontier, 0, caps[l - 1] - 1)
@@ -206,8 +214,12 @@ def compute_force_grouped(
         kids = jnp.clip(kids, 0, caps[l] - 1)
         flat = offsets[l] + kids
         accept, open_ = classify(l, flat, kmask)
-        acc_idx.append(flat)
-        acc_valid.append(accept)
+        nodes, nvalid, ncount = compact_rows(
+            jnp.concatenate([jnp.where(nvalid, nodes, 0), flat], axis=1),
+            jnp.concatenate([nvalid, accept], axis=1),
+            cap_nodes,
+        )
+        tile_over = tile_over | (ncount > cap_nodes)
         if l == depth:
             e, em, ov = emit_leaf_cells(flat, open_)
             leaf_entries.append(e)
@@ -217,10 +229,6 @@ def compute_force_grouped(
             frontier, fvalid, counts = compact_rows(kids, open_, F)
             tile_over = tile_over | (counts > F)
 
-    all_idx = jnp.concatenate(acc_idx, axis=1)
-    all_valid = jnp.concatenate(acc_valid, axis=1)
-    nodes, nvalid, ncount = compact_rows(all_idx, all_valid, cap_nodes)
-    tile_over = tile_over | (ncount > cap_nodes)
     ncnt = jnp.minimum(ncount, cap_nodes)
     leaf_idx_all = jnp.concatenate(leaf_entries, axis=1)
     leaf_valid_all = jnp.concatenate(leaf_masks, axis=1)

@@ -98,3 +98,21 @@ def test_energy_conservation_two_body_orbit():
     # orbital radius preserved
     x = np.asarray(s.x)
     assert abs(np.linalg.norm(x[1] - x[0]) - r) < 1e-3
+
+
+def test_energy_conservation_galaxy_bvh():
+    """Integration oracle: a galaxy run under the BVH engine conserves
+    total energy to the approximation level (SURVEY.md section 4 item 4)."""
+    from nbody_tpu.models import build_galaxy_model
+    from nbody_tpu.sim.engines import EngineOptions
+    from nbody_tpu.sim.engines import get_engine
+
+    cfg, s = build_galaxy_model(2000, 2, np.float64)
+    step = get_engine("bvh").make_step(cfg, EngineOptions(kernel="jnp"))
+    ke0, pe0 = calc_energies(s.m, s.x, s.v, cfg.G, cfg.eps)
+    e0 = float(ke0) + float(pe0)
+    for k in range(30):
+        s = step(s, k)
+    ke1, pe1 = calc_energies(s.m, s.x, s.v, cfg.G, cfg.eps)
+    e1 = float(ke1) + float(pe1)
+    assert abs(e1 - e0) / abs(e0) < 5e-3, (e0, e1)
