@@ -29,9 +29,21 @@ def _pe_rows(idx: jnp.ndarray, xi: jnp.ndarray, mi: jnp.ndarray,
 @partial(jax.jit, static_argnames=("G", "eps", "chunk"))
 def calc_energies(m: jnp.ndarray, x: jnp.ndarray, v: jnp.ndarray,
                   G: float, eps: float, chunk: int = 1024):
-    """Returns (kinetic, gravitational) as 0-d arrays of the state dtype."""
+    """Returns (kinetic, gravitational) as 0-d arrays of the state dtype.
+    On TPU with float32 the O(N^2) potential uses the tiled Pallas kernel;
+    otherwise the chunked jnp path."""
     dtype = x.dtype
     ke = jnp.asarray(0.5, dtype) * jnp.sum(m * jnp.sum(v * v, axis=-1))
+
+    from nbody_tpu.ops.pallas_allpairs import (
+        pallas_available,
+        potential_rowsums_pallas,
+    )
+
+    if pallas_available() and dtype == jnp.float32:
+        pe_rows = potential_rowsums_pallas(m, x, eps)
+        pe = jnp.asarray(-0.5 * G, dtype) * jnp.sum(pe_rows)
+        return ke, pe
 
     n, dim = x.shape
     npad = -(-n // chunk) * chunk

@@ -127,3 +127,61 @@ def allpairs_accel_pallas(
         interpret=interpret,
     )(xp, xt, mp)
     return jnp.asarray(G, dtype) * out[:n]
+
+
+def _pe_kernel(eps: float, tile_i: int, tile_j: int, mi_ref, xi_ref, xjt_ref,
+               mj_ref, out_ref):
+    """Per-body potential-energy partial sums: out_i = m_i * sum_{j != i}
+    m_j / (sqrt(d2) + eps). The diagonal is masked explicitly -- unlike the
+    force kernel its numerator does not vanish (system.h:67-76 skips j==i)."""
+    i = pl.program_id(0)
+    j = pl.program_id(1)
+
+    @pl.when(j == 0)
+    def _():
+        out_ref[:, :] = jnp.zeros_like(out_ref)
+
+    xi = xi_ref[:, :]
+    dim = xi.shape[1]
+    eps_v = jnp.asarray(eps, xi.dtype)
+    d2 = None
+    for d in range(dim):
+        xd = xjt_ref[d, :][None, :] - xi[:, d][:, None]
+        d2 = xd * xd if d2 is None else d2 + xd * xd
+    r = jnp.sqrt(d2) + eps_v
+    w = mj_ref[0, :][None, :] / r
+    # mask the diagonal: global row == global col
+    rows = i * tile_i + jax.lax.broadcasted_iota(jnp.int32, w.shape, 0)
+    cols = j * tile_j + jax.lax.broadcasted_iota(jnp.int32, w.shape, 1)
+    w = jnp.where(rows == cols, jnp.zeros_like(w), w)
+    out_ref[:, 0] += mi_ref[:, 0] * jnp.sum(w, axis=1)
+
+
+@functools.partial(
+    jax.jit, static_argnames=("eps", "tile_i", "tile_j", "interpret")
+)
+def potential_rowsums_pallas(m, x, eps: float, tile_i: int = 512,
+                             tile_j: int = 2048, interpret: bool = False):
+    """Returns per-body pe_i = m_i * sum_{j != i} m_j / dist(i, j); the
+    total PE is -0.5 * G * sum(pe). Used by calc_energies on TPU."""
+    n, dim = x.shape
+    dtype = x.dtype
+    npad = _round_up(max(n, tile_i, tile_j), max(tile_i, tile_j))
+    xp = jnp.pad(x, ((0, npad - n), (0, 0)))
+    mp = jnp.pad(m, (0, npad - n))
+    grid = (npad // tile_i, npad // tile_j)
+    kernel = functools.partial(_pe_kernel, float(eps), tile_i, tile_j)
+    out = pl.pallas_call(
+        kernel,
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec((tile_i, 1), lambda i, j: (i, 0)),
+            pl.BlockSpec((tile_i, dim), lambda i, j: (i, 0)),
+            pl.BlockSpec((dim, tile_j), lambda i, j: (0, j)),
+            pl.BlockSpec((1, tile_j), lambda i, j: (0, j)),
+        ],
+        out_specs=pl.BlockSpec((tile_i, 1), lambda i, j: (i, 0)),
+        out_shape=jax.ShapeDtypeStruct((npad, 1), dtype),
+        interpret=interpret,
+    )(mp.reshape(npad, 1), xp, xp.T, mp.reshape(1, npad))
+    return out[:n, 0]

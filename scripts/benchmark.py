@@ -76,6 +76,9 @@ def main(argv=None) -> int:
     p = argparse.ArgumentParser()
     p.add_argument("--quick", action="store_true")
     p.add_argument("--detailed", action="store_true")
+    p.add_argument("--precision", default="double", choices=["double", "float"],
+                   help="reference matrix uses double (ci/benchmark); float "
+                        "runs the TPU-native fast path")
     p.add_argument("--out", default="benchmark_results.csv")
     a = p.parse_args(argv)
 
@@ -101,7 +104,7 @@ def main(argv=None) -> int:
     for algo, n, s in matrix:
         print(f"# running {algo} n={n} steps={s} ...", file=sys.stderr, flush=True)
         try:
-            rows = run_config(algo, n, s, dim=3, precision="double")
+            rows = run_config(algo, n, s, dim=3, precision=a.precision)
         except Exception as e:
             print(f"#   FAILED: {e}", file=sys.stderr)
             rows = [{"algorithm": algo, "nbodies": str(n), "error": str(e)[:200]}]
@@ -112,7 +115,7 @@ def main(argv=None) -> int:
             print(f"# running detailed {algo} ...", file=sys.stderr, flush=True)
             try:
                 all_rows.extend(
-                    run_config(algo, n_std, steps, dim=3, precision="double",
+                    run_config(algo, n_std, steps, dim=3, precision=a.precision,
                                detailed=True)
                 )
             except Exception as e:

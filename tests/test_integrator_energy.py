@@ -116,3 +116,21 @@ def test_energy_conservation_galaxy_bvh():
     ke1, pe1 = calc_energies(s.m, s.x, s.v, cfg.G, cfg.eps)
     e1 = float(ke1) + float(pe1)
     assert abs(e1 - e0) / abs(e0) < 5e-3, (e0, e1)
+
+
+def test_pallas_pe_matches_jnp():
+    """The Pallas potential kernel (interpret mode) == the chunked jnp PE."""
+    from nbody_tpu.ops.pallas_allpairs import potential_rowsums_pallas
+
+    rng = np.random.default_rng(8)
+    n = 100
+    m = jnp.asarray(rng.uniform(0.5, 1.0, n).astype(np.float32))
+    x = jnp.asarray(rng.uniform(-1, 1, (n, 2)).astype(np.float32))
+    eps = float(np.finfo(np.float32).eps)
+    rows = np.asarray(
+        potential_rowsums_pallas(m, x, eps, tile_i=128, tile_j=128,
+                                 interpret=True)
+    )
+    pe_pallas = -0.5 * 1.0 * rows.sum()
+    _, pe_jnp = calc_energies(m, x, jnp.zeros_like(x), 1.0, eps)
+    assert abs(pe_pallas - float(pe_jnp)) / abs(float(pe_jnp)) < 1e-5
