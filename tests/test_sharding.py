@@ -66,6 +66,27 @@ def test_dryrun_multichip_entry():
     ge.dryrun_multichip(8)
 
 
+def test_dryrun_multichip_clean_interpreter():
+    """Run the dryrun EXACTLY the way the driver does: a fresh interpreter
+    with no conftest having pre-set jax_platforms.  Guards the
+    backend-init-ordering bug (config.update must precede any backend use;
+    a jax.devices() probe first makes the update a dead no-op)."""
+    import pathlib
+    import subprocess
+    import sys
+
+    repo = pathlib.Path(__file__).resolve().parents[1]
+    proc = subprocess.run(
+        [sys.executable, str(repo / "__graft_entry__.py"), "8"],
+        capture_output=True,
+        text=True,
+        timeout=600,
+        cwd=str(repo),
+    )
+    assert proc.returncode == 0, proc.stderr
+    assert "OK" in proc.stdout
+
+
 def test_entry_compiles():
     import __graft_entry__ as ge
 
