@@ -32,6 +32,7 @@ _HELP = """Help:
 --csv-detailed\t\tPer-phase timing CSV, saves every step
 --csv-total\t\tSingle-row timing CSV (excludes printing/saving)
 --kernel auto|pallas|jnp\t\tForce-kernel backend (default auto)
+--platform auto|cpu|tpu\t\tJAX backend (default auto; env NBODY_TPU_PLATFORM)
 --mesh N\t\tShard bodies across N devices (default 1)
 --chunk N\t\tRow-chunk size for the jnp fallback kernels
 --fix-collapsed-z\t\tFix the reference's frozen-z quirk in all-pairs-collapsed
@@ -64,6 +65,7 @@ def parse_args(argv: list[str]) -> dict:
         "csv_total": False,
         "load_input": None,
         # TPU extensions
+        "platform": None,
         "kernel": "auto",
         "mesh": 1,
         "chunk": 2048,
@@ -145,6 +147,13 @@ def parse_args(argv: list[str]) -> dict:
         elif flag == "--kernel":
             i += 1
             args["kernel"] = argv[i]
+        elif flag == "--platform":
+            i += 1
+            if argv[i] not in ("auto", "cpu", "tpu"):
+                print(f'Unknown platform: "{argv[i]}".', file=sys.stderr)
+                print("Options are: auto (default), cpu, tpu.", file=sys.stderr)
+                raise SystemExit(1)
+            args["platform"] = argv[i]
         elif flag == "--mesh":
             i += 1
             args["mesh"] = int(argv[i])
@@ -194,6 +203,19 @@ def main(argv: list[str] | None = None, out=None) -> int:
     if argv is None:
         argv = sys.argv[1:]
     args = parse_args(list(argv))
+
+    # Backend selection must precede any jax backend use (this jax build
+    # ignores the JAX_PLATFORMS env var; only jax.config works, and only
+    # before first backend init -- see CLAUDE.md).  The NBODY_TPU_PLATFORM
+    # env var is read by us, not jax, so it works where JAX_PLATFORMS
+    # doesn't.
+    import os
+
+    platform = args["platform"] or os.environ.get("NBODY_TPU_PLATFORM")
+    if platform and platform != "auto":
+        import jax
+
+        jax.config.update("jax_platforms", platform)
 
     if args["precision"] == "double":
         import jax
