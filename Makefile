@@ -1,18 +1,30 @@
 # Convenience targets (the reference's Makefile builds binaries; here the
 # "build" is the optional native library, everything else is Python).
 
-.PHONY: all native test test-fast bench bench-matrix clean
+.PHONY: all native test test-full test-fast bench bench-matrix smoke clean
 
 all: native
 
 native:
 	python native/build.py
 
+# default suite skips the slow per-body-traversal oracles (keep <5 min);
+# test-full runs everything (CI-full mode)
 test:
+	python -m pytest tests/ -q -m "not slow"
+
+test-full:
 	python -m pytest tests/ -q
 
 test-fast:
-	python -m pytest tests/ -q -x -k "not tooling and not sharding"
+	python -m pytest tests/ -q -x -m "not slow" -k "not tooling and not sharding"
+
+# post-run visual smoke test (the ci/run:186-189 GIF render analog)
+smoke:
+	python -m nbody_tpu.cli -n 256 -s 20 --workload galaxy --algorithm bvh \
+	  --csv-detailed --save pos
+	python scripts/plotter.py pos --galaxy --gif --every 2 --out smoke_animation
+	@ls -la smoke_animation.gif
 
 bench:
 	python bench.py

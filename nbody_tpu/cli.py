@@ -216,6 +216,9 @@ def main(argv: list[str] | None = None, out=None) -> int:
         import jax
 
         jax.config.update("jax_platforms", platform)
+        if platform == "cpu" and args["mesh"] > 1:
+            # --mesh on the CPU backend: provision enough virtual devices
+            jax.config.update("jax_num_cpu_devices", int(args["mesh"]))
 
     if args["precision"] == "double":
         import jax

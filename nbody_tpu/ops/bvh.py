@@ -245,8 +245,11 @@ def bvh_step_force(state: SystemState, theta: float, G: float, eps: float,
     if traversal == "group":
         from nbody_tpu.ops.bvh_group import compute_force_grouped
 
-        a, _ = compute_force_grouped(tree, state.m, state.x, theta, G, eps,
-                                     tile=group_tile)
+        a, info = compute_force_grouped(tree, state.m, state.x, theta, G, eps,
+                                        tile=group_tile)
+        overflow = info["node_overflow"].astype(jnp.int32)
     else:
         a = compute_force(tree, state.m, state.x, theta, G, eps)
-    return dataclasses.replace(state, a=a), tree
+        overflow = jnp.zeros((), jnp.int32)
+    aux = {"overflow": overflow, "root_mass": tree.mm[0]}
+    return dataclasses.replace(state, a=a), tree, aux

@@ -56,7 +56,7 @@ def default_caps(n: int, theta: float) -> tuple[int, int]:
 @partial(
     jax.jit,
     static_argnames=("theta", "G", "eps", "tile", "cap_nodes", "cap_leaves",
-                     "chunk"),
+                     "chunk", "nrows"),
 )
 def compute_force_grouped(
     tree: BVHTree,
@@ -69,8 +69,18 @@ def compute_force_grouped(
     cap_nodes: int | None = None,
     cap_leaves: int | None = None,
     chunk: int = 8,
+    row_start=None,
+    nrows: int | None = None,
 ):
-    """Returns (accel (n, dim) in sorted body order, info dict)."""
+    """Returns (accel in sorted body order, info dict).
+
+    Default: forces for ALL n bodies.  With `row_start`/`nrows` (the
+    multi-chip path: each shard owns a contiguous row range of the sorted
+    bodies), only rows [row_start, row_start + nrows) are evaluated --
+    against the FULL tree and body arrays, which are replicated -- and
+    the returned accel has nrows rows.  row_start may be traced (it is an
+    axis_index inside shard_map); nrows must be static and divisible by
+    `tile`, and the caller pads x so the range exists."""
     n, dim = x.shape
     dtype = x.dtype
     if cap_nodes is None or cap_leaves is None:
@@ -85,14 +95,24 @@ def compute_force_grouped(
     epsv = jnp.asarray(float(eps), dtype)
     Gv = jnp.asarray(G, dtype)
 
-    ntiles = -(-n // tile)
-    npad = ntiles * tile
-    xp = jnp.pad(x, ((0, npad - n), (0, 0)))
-    mp = jnp.pad(m, (0, npad - n))
+    if nrows is None:
+        ntiles = -(-n // tile)
+        npad = ntiles * tile
+        xp = jnp.pad(x, ((0, npad - n), (0, 0)))
+        row0 = jnp.zeros((), jnp.int32)
+        out_rows = n
+    else:
+        if nrows % tile != 0:
+            raise ValueError("nrows must be divisible by tile")
+        ntiles = nrows // tile
+        npad = nrows
+        row0 = jnp.asarray(row_start, jnp.int32)
+        xp = jax.lax.dynamic_slice_in_dim(x, row0, nrows, axis=0)
+        out_rows = nrows
     xt = xp.reshape(ntiles, tile, dim)
     # tile bounding boxes over REAL bodies only (padding would widen them);
     # padded slots replicate the tile's first body
-    valid = (jnp.arange(npad) < n).reshape(ntiles, tile)
+    valid = (row0 + jnp.arange(npad) < n).reshape(ntiles, tile)
     first = xt[:, :1, :]
     xt_real = jnp.where(valid[:, :, None], xt, first)
     tmin = jnp.min(xt_real, axis=1)  # (ntiles, dim)
@@ -295,7 +315,7 @@ def compute_force_grouped(
         jnp.repeat(fb_flag, tile)[:, None], fb_acc, current
     )
     acc = acc.at[rows].set(chosen, mode="drop")
-    acc = acc[:n]
+    acc = acc[:out_rows]
 
     n_over = jnp.sum(tile_over)
     residual = jnp.maximum(n_over - K_FB, 0)

@@ -344,10 +344,19 @@ def octree_step_force(state: SystemState, theta: float, G: float, eps: float,
     if traversal == "group":
         from nbody_tpu.ops.octree_group import compute_force_grouped
 
-        a_sorted, _ = compute_force_grouped(
+        a_sorted, info = compute_force_grouped(
             levels, ms, xs, hi - lo, theta, G, eps, tile=group_tile
         )
+        overflow = info["node_overflow"].astype(jnp.int32)
     else:
         a_sorted = compute_force(levels, ms, xs, hi - lo, theta, G, eps)
+        overflow = jnp.zeros((), jnp.int32)
     a = jnp.zeros_like(a_sorted).at[perm].set(a_sorted)
-    return dataclasses.replace(state, a=a), levels
+    aux = {
+        "overflow": overflow,
+        # occupied-node count and root monopole mass for --print-info
+        # (octree.h:313-316), computed from THIS step's tree
+        "tree_size": jnp.sum(levels.count > 0).astype(jnp.int32),
+        "root_mass": levels.mass[0],
+    }
+    return dataclasses.replace(state, a=a), levels, aux

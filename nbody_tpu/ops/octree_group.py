@@ -50,7 +50,7 @@ def default_caps(n: int, theta: float, dim: int) -> tuple[int, int]:
 @partial(
     jax.jit,
     static_argnames=("theta", "G", "eps", "tile", "cap_nodes", "cap_leaves",
-                     "chunk"),
+                     "chunk", "nrows"),
 )
 def compute_force_grouped(
     levels: OctreeLevels,
@@ -64,8 +64,15 @@ def compute_force_grouped(
     cap_nodes: int | None = None,
     cap_leaves: int | None = None,
     chunk: int = 8,
+    row_start=None,
+    nrows: int | None = None,
 ):
-    """Returns (accel (n, dim) in Morton-sorted body order, info dict)."""
+    """Returns (accel in Morton-sorted body order, info dict).
+
+    Default: forces for ALL n bodies.  With `row_start`/`nrows` (the
+    multi-chip path), only rows [row_start, row_start + nrows) of the
+    sorted bodies are evaluated against the full (replicated) tree;
+    row_start may be traced, nrows must be static and tile-divisible."""
     n, dim = xs.shape
     dtype = xs.dtype
     depth = levels.depth
@@ -85,11 +92,22 @@ def compute_force_grouped(
     parent = levels.parent
     side_tbl = [root_side / jnp.asarray(float(1 << l), dtype) for l in range(depth + 1)]
 
-    ntiles = -(-n // tile)
-    npad = ntiles * tile
-    xp = jnp.pad(xs, ((0, npad - n), (0, 0)))
+    if nrows is None:
+        ntiles = -(-n // tile)
+        npad = ntiles * tile
+        xp = jnp.pad(xs, ((0, npad - n), (0, 0)))
+        row0 = jnp.zeros((), jnp.int32)
+        out_rows = n
+    else:
+        if nrows % tile != 0:
+            raise ValueError("nrows must be divisible by tile")
+        ntiles = nrows // tile
+        npad = nrows
+        row0 = jnp.asarray(row_start, jnp.int32)
+        xp = jax.lax.dynamic_slice_in_dim(xs, row0, nrows, axis=0)
+        out_rows = nrows
     xt = xp.reshape(ntiles, tile, dim)
-    valid = (jnp.arange(npad) < n).reshape(ntiles, tile)
+    valid = (row0 + jnp.arange(npad) < n).reshape(ntiles, tile)
     xt_real = jnp.where(valid[:, :, None], xt, xt[:, :1, :])
     tmin = jnp.min(xt_real, axis=1)
     tmax = jnp.max(xt_real, axis=1)
@@ -302,7 +320,7 @@ def compute_force_grouped(
     )
     rows = (fb_tiles[:, None] * tile + jnp.arange(tile)[None, :]).reshape(-1)
     chosen = jnp.where(jnp.repeat(fb_flag, tile)[:, None], fb_acc, acc[rows])
-    acc = acc.at[rows].set(chosen, mode="drop")[:n]
+    acc = acc.at[rows].set(chosen, mode="drop")[:out_rows]
 
     n_over = jnp.sum(tile_over)
     info = {

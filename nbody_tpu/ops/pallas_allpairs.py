@@ -41,8 +41,8 @@ def _round_up(x: int, m: int) -> int:
     return -(-x // m) * m
 
 
-def _allpairs_kernel(dim: int, eps: float, exact: bool, xi_ref, xjt_ref,
-                     mj_ref, out_ref):
+def _allpairs_kernel(dim: int, eps: float, exact: bool, fast: bool,
+                     far_thresh: float, xi_ref, xjt_ref, mj_ref, out_ref):
     j = pl.program_id(1)
 
     @pl.when(j == 0)
@@ -55,7 +55,9 @@ def _allpairs_kernel(dim: int, eps: float, exact: bool, xi_ref, xjt_ref,
     # pairwise squared distance, built per-dimension to stay in (TI, TJ)
     # tiles. NOTE: computed from coordinate differences on purpose -- the
     # |xi|^2+|xj|^2-2xi.xj MXU formulation catastrophically cancels for
-    # close pairs and r^-3 amplifies the error (measured 100x force errors).
+    # close pairs and r^-3 amplifies the error (measured 100x force errors;
+    # round-2 measured the hybrid MXU kernel 2.7x SLOWER anyway -- the
+    # dim+1-column matmuls waste ~97% of the MXU lanes).
     dx = []
     d2 = None
     for d in range(dim):
@@ -63,24 +65,43 @@ def _allpairs_kernel(dim: int, eps: float, exact: bool, xi_ref, xjt_ref,
         dx.append(xd)
         d2 = xd * xd if d2 is None else d2 + xd * xd
 
-    # w = m_j / (d2 * sqrt(d2) + eps); self/coincident pairs give 0 numerator
-    t = d2 * jnp.sqrt(d2) + eps_v
-    if exact:
-        w = mj_ref[0, :][None, :] / t
-    else:
+    def softened_w():
+        # w = m_j / (d2*sqrt(d2) + eps); self/coincident pairs -> 0 numerator
+        t = d2 * jnp.sqrt(d2) + eps_v
+        if exact:
+            return mj_ref[0, :][None, :] / t
         # approximate reciprocal + one Newton step: <=1 ulp from the exact
         # division (measured 1.7e-7 max relative) at ~30% higher throughput
         r = pl.reciprocal(t, approx=True)
         r = r * (jnp.asarray(2.0, xi.dtype) - t * r)
-        w = mj_ref[0, :][None, :] * r
+        return mj_ref[0, :][None, :] * r
 
-    for d in range(dim):
-        out_ref[:, d] += jnp.sum(w * dx[d], axis=1)
+    def accumulate(w):
+        for d in range(dim):
+            out_ref[:, d] += jnp.sum(w * dx[d], axis=1)
+
+    if not fast:
+        accumulate(softened_w())
+    else:
+        # adaptive per-tile: if every pair in the tile satisfies
+        # d2^1.5 > eps/tol, dropping the +eps softening changes w by
+        # less than tol relative -- use the shorter rsqrt^3 chain.
+        d2min = jnp.min(d2)
+
+        @pl.when(d2min > jnp.asarray(far_thresh, xi.dtype))
+        def _():
+            r = jax.lax.rsqrt(d2)
+            accumulate((mj_ref[0, :][None, :] * r) * (r * r))
+
+        @pl.when(d2min <= jnp.asarray(far_thresh, xi.dtype))
+        def _():
+            accumulate(softened_w())
 
 
 @functools.partial(
     jax.jit,
-    static_argnames=("G", "eps", "tile_i", "tile_j", "interpret", "exact"),
+    static_argnames=("G", "eps", "tile_i", "tile_j", "interpret", "exact",
+                     "fast", "fast_tol"),
 )
 def allpairs_accel_pallas(
     m: jnp.ndarray,
@@ -91,13 +112,19 @@ def allpairs_accel_pallas(
     tile_j: int = 2048,
     interpret: bool = False,
     exact: bool = False,
+    fast: bool = False,
+    fast_tol: float = 1e-6,
 ) -> jnp.ndarray:
     """All-pairs accelerations via the tiled Pallas kernel.
 
     m: (n,), x: (n, dim). Returns (n, dim) in x.dtype. float32 only (the
     TPU has no native f64; double runs use the jnp path). exact=True uses
     a true division for the softened r^-3 instead of the Newton-refined
-    reciprocal (1 ulp difference, ~30% slower).
+    reciprocal (1 ulp difference, ~30% slower). fast=True lets tiles whose
+    minimum pair distance satisfies d2^1.5 > eps/fast_tol drop the +eps
+    softening (per-pair relative error < fast_tol) and use a shorter
+    rsqrt^3 chain; near tiles keep the exact softened path, decided per
+    tile at runtime.
     """
     n, dim = x.shape
     dtype = x.dtype
@@ -106,8 +133,12 @@ def allpairs_accel_pallas(
     mp = jnp.pad(m, (0, npad - n)).reshape(1, npad)
     xt = xp.T  # (dim, npad)
 
+    # threshold: d2 > (eps/tol)^(2/3) guarantees eps/d2^1.5 < tol; tiles
+    # containing self-pairs (d2=0) always fall back to the softened chain
+    far_thresh = float((eps / fast_tol) ** (2.0 / 3.0))
     grid = (npad // tile_i, npad // tile_j)
-    kernel = functools.partial(_allpairs_kernel, dim, float(eps), exact)
+    kernel = functools.partial(_allpairs_kernel, dim, float(eps), exact,
+                               bool(fast), far_thresh)
 
     out = pl.pallas_call(
         kernel,

@@ -1,16 +1,27 @@
 """Sharded Barnes-Hut: replicated tree, body-sharded traversal/evaluation.
 
 The tree is O(n) data while force evaluation is the O(n log n) hot part,
-so the multi-chip layout is: all-gather the (Hilbert-sorted) body arrays,
-build the tree redundantly on every shard (cheap, avoids a distributed
-tree build), and evaluate forces only for the shard's own contiguous tile
-range -- collectives ride ICI once per step (the all_gather), traversal
-and evaluation are purely local (SURVEY.md section 2: "replicated-tree /
-sharded-leaves Barnes-Hut").
+so the multi-chip layout is: Hilbert/Morton-sort globally, build the tree
+redundantly on every shard (cheap, avoids a distributed tree build), and
+evaluate forces only for the shard's OWN contiguous row range of the
+sorted bodies via the group traversal's row-range mode
+(ops/bvh_group.py / ops/octree_group.py `row_start`/`nrows`) -- so the
+O(n log n) list-building AND the dense evaluation are both 1/S per shard.
+Collectives ride ICI: one all_gather of the per-shard accelerations per
+step, one psum of the overflow counter (SURVEY.md section 2:
+"replicated-tree / sharded-leaves Barnes-Hut"; the reference is
+single-device, src/bvh.h:327-418 / octree.h:266-347, so this layout is
+the rebuild's own design).
+
+Padding contract: bodies are padded to a multiple of n_shards * tile
+with ZERO-MASS copies of the last sorted body (position duplication
+keeps every bounding box unchanged; zero mass makes the extra bodies
+force-invisible).
 """
 
 from __future__ import annotations
 
+import dataclasses
 import functools
 
 import jax
@@ -19,13 +30,37 @@ from jax.sharding import Mesh, PartitionSpec as P
 
 from nbody_tpu.config import SimConfig
 from nbody_tpu.parallel.mesh import BODY_AXIS, body_mesh
+from nbody_tpu.state import SystemState
+
+
+def _shard_map(fn, mesh, in_specs, out_specs):
+    try:
+        return jax.shard_map(fn, mesh=mesh, in_specs=in_specs,
+                             out_specs=out_specs, check_vma=False)
+    except TypeError:  # older spelling
+        return jax.shard_map(fn, mesh=mesh, in_specs=in_specs,
+                             out_specs=out_specs, check_rep=False)
+
+
+def _round_up(x: int, m: int) -> int:
+    return -(-x // m) * m
+
+
+def _pad_bodies(m, x, npad: int):
+    """Append zero-mass copies of the last body (bbox-neutral padding)."""
+    n = x.shape[0]
+    if npad == n:
+        return m, x
+    m = jnp.concatenate([m, jnp.zeros((npad - n,), m.dtype)])
+    x = jnp.concatenate([x, jnp.broadcast_to(x[-1], (npad - n, x.shape[1]))])
+    return m, x
 
 
 def make_sharded_bvh_force(cfg: SimConfig, n_shards: int,
-                           mesh: Mesh | None = None):
-    """Build accel(m, x) over Hilbert-SORTED sharded body arrays. The
-    caller is responsible for sorting (the sort itself is a global op; at
-    multi-chip scale it runs as a replicated computation here)."""
+                           mesh: Mesh | None = None, tile: int = 512):
+    """accel(m, x) over Hilbert-SORTED body arrays: replicated build,
+    row-sharded group evaluation.  The caller sorts (the sort is a global
+    op; at multi-chip scale it runs replicated here)."""
     if mesh is None:
         mesh = body_mesh(n_shards)
     from nbody_tpu.ops.bvh import build_tree
@@ -33,60 +68,145 @@ def make_sharded_bvh_force(cfg: SimConfig, n_shards: int,
 
     theta, G, eps = float(cfg.theta), float(cfg.G), cfg.eps
 
-    def shard_fn(m_loc, x_loc):
-        # replicate bodies: one all_gather per step over ICI
-        m_all = jax.lax.all_gather(m_loc, BODY_AXIS, tiled=True)
-        x_all = jax.lax.all_gather(x_loc, BODY_AXIS, tiled=True)
-        tree = build_tree(m_all, x_all, eps)
-        a_all, _ = compute_force_grouped(tree, m_all, x_all, theta, G, eps)
-        # keep only this shard's rows
-        idx = jax.lax.axis_index(BODY_AXIS)
-        nl = x_loc.shape[0]
-        return jax.lax.dynamic_slice_in_dim(a_all, idx * nl, nl, axis=0)
-
-    try:
-        mapped = jax.shard_map(
-            shard_fn, mesh=mesh,
-            in_specs=(P(BODY_AXIS), P(BODY_AXIS, None)),
-            out_specs=P(BODY_AXIS, None),
-            check_vma=False,
-        )
-    except TypeError:
-        mapped = jax.shard_map(
-            shard_fn, mesh=mesh,
-            in_specs=(P(BODY_AXIS), P(BODY_AXIS, None)),
-            out_specs=P(BODY_AXIS, None),
-            check_rep=False,
-        )
-
-    def shard_fn_gathered(m_loc, x_loc):
-        out = shard_fn(m_loc, x_loc)
-        return jax.lax.all_gather(out, BODY_AXIS, tiled=True)
-
-    try:
-        mapped_gathered = jax.shard_map(
-            shard_fn_gathered, mesh=mesh,
-            in_specs=(P(BODY_AXIS), P(BODY_AXIS, None)),
-            out_specs=P(None, None),
-            check_vma=False,
-        )
-    except TypeError:
-        mapped_gathered = jax.shard_map(
-            shard_fn_gathered, mesh=mesh,
-            in_specs=(P(BODY_AXIS), P(BODY_AXIS, None)),
-            out_specs=P(None, None),
-            check_rep=False,
-        )
-
     def accel(m: jnp.ndarray, x: jnp.ndarray) -> jnp.ndarray:
         n = x.shape[0]
-        npad = -(-n // n_shards) * n_shards
-        if npad == n:
-            return mapped(m, x)
-        # non-divisible: pad with massless bodies; gather the result
-        # replicated so it can be sliced back to n rows
-        m = jnp.pad(m, (0, npad - n))
-        x = jnp.pad(x, ((0, npad - n), (0, 0)))
-        return mapped_gathered(m, x)[:n]
+        npad = _round_up(n, n_shards * tile)
+        nrows = npad // n_shards
+        mp, xp = _pad_bodies(m, x, npad)
+
+        def shard_fn(m_all, x_all):
+            tree = build_tree(m_all, x_all, eps)
+            idx = jax.lax.axis_index(BODY_AXIS)
+            a_loc, _ = compute_force_grouped(
+                tree, m_all, x_all, theta, G, eps, tile=tile,
+                row_start=idx * nrows, nrows=nrows,
+            )
+            return jax.lax.all_gather(a_loc, BODY_AXIS, tiled=True)
+
+        mapped = _shard_map(
+            shard_fn, mesh,
+            in_specs=(P(), P(None, None)),
+            out_specs=P(None, None),
+        )
+        return mapped(mp, xp)[:n]
 
     return accel
+
+
+def make_sharded_bvh_step(cfg: SimConfig, opts):
+    """Full --mesh N BVH step: global Hilbert sort + leapfrog around the
+    sharded force.  Returns jitted (state, k) -> (state, aux)."""
+    from nbody_tpu.ops.bvh import build_tree
+    from nbody_tpu.ops.bvh_group import compute_force_grouped
+    from nbody_tpu.ops.geometry import aabb_of_points
+    from nbody_tpu.ops.hilbert import hilbert_sort_perm
+    from nbody_tpu.ops.integrator import leapfrog_step
+
+    n_shards = opts.mesh
+    tile = opts.group_tile
+    mesh = body_mesh(n_shards)
+    theta, G, eps = float(cfg.theta), float(cfg.G), cfg.eps
+
+    def shard_fn(m_all, x_all):
+        tree = build_tree(m_all, x_all, eps)
+        idx = jax.lax.axis_index(BODY_AXIS)
+        nrows = x_all.shape[0] // n_shards
+        a_loc, info = compute_force_grouped(
+            tree, m_all, x_all, theta, G, eps, tile=tile,
+            row_start=idx * nrows, nrows=nrows,
+        )
+        a_all = jax.lax.all_gather(a_loc, BODY_AXIS, tiled=True)
+        over = jax.lax.psum(info["node_overflow"].astype(jnp.int32),
+                            BODY_AXIS)
+        return a_all, over, tree.mm[0]
+
+    mapped = _shard_map(
+        shard_fn, mesh,
+        in_specs=(P(), P(None, None)),
+        out_specs=(P(None, None), P(), P()),
+    )
+
+    @jax.jit
+    def step(state: SystemState, k):
+        n, dim = state.x.shape
+        xmin, xmax = aabb_of_points(state.x, eps)
+        perm = hilbert_sort_perm(state.x, xmin, xmax)
+        packed = jnp.concatenate(
+            [state.m[:, None], state.x, state.v, state.a, state.ao], axis=1
+        )[perm]
+        state = SystemState(
+            m=packed[:, 0],
+            x=packed[:, 1:1 + dim],
+            v=packed[:, 1 + dim:1 + 2 * dim],
+            a=packed[:, 1 + 2 * dim:1 + 3 * dim],
+            ao=packed[:, 1 + 3 * dim:1 + 4 * dim],
+        )
+        npad = _round_up(n, n_shards * tile)
+        mp, xp = _pad_bodies(state.m, state.x, npad)
+        a_all, over, root_mass = mapped(mp, xp)
+        state = dataclasses.replace(state, a=a_all[:n])
+        aux = {"overflow": over, "root_mass": root_mass}
+        return leapfrog_step(state, cfg.dt), aux
+
+    return step
+
+
+def make_sharded_octree_step(cfg: SimConfig, opts):
+    """Full --mesh N octree step: global Morton sort + replicated
+    prefix-tree build, row-sharded group evaluation, scatter back."""
+    from nbody_tpu.ops.geometry import scalar_bounds
+    from nbody_tpu.ops.integrator import leapfrog_step
+    from nbody_tpu.ops.octree import build_octree, max_depth
+    from nbody_tpu.ops.octree_group import compute_force_grouped
+
+    n_shards = opts.mesh
+    tile = opts.group_tile
+    mesh = body_mesh(n_shards)
+    theta, G, eps = float(cfg.theta), float(cfg.G), cfg.eps
+    depth = max_depth(cfg.n, cfg.dim)
+
+    def shard_fn(ms_all, xs_all, side):
+        # the tree is rebuilt per shard from the ALREADY-SORTED bodies
+        # (keys are recomputed but the argsort is the identity, so the
+        # rebuild is pure segmented reductions)
+        idx = jax.lax.axis_index(BODY_AXIS)
+        nrows = xs_all.shape[0] // n_shards
+        levels, _, ms2, xs2 = build_octree(
+            ms_all, xs_all, side[0], side[1], depth
+        )
+        a_loc, info = compute_force_grouped(
+            levels, ms2, xs2, side[1] - side[0], theta, G, eps, tile=tile,
+            row_start=idx * nrows, nrows=nrows,
+        )
+        a_all = jax.lax.all_gather(a_loc, BODY_AXIS, tiled=True)
+        over = jax.lax.psum(info["node_overflow"].astype(jnp.int32),
+                            BODY_AXIS)
+        tree_size = jnp.sum(levels.count > 0).astype(jnp.int32)
+        return a_all, over, tree_size, levels.mass[0]
+
+    mapped = _shard_map(
+        shard_fn, mesh,
+        in_specs=(P(), P(None, None), P()),
+        out_specs=(P(None, None), P(), P(), P()),
+    )
+
+    @jax.jit
+    def step(state: SystemState, k):
+        n, dim = state.x.shape
+        lo, hi = scalar_bounds(state.x)
+        # global Morton sort once; shards rebuild the tree segmented-only
+        levels, perm, ms, xs = build_octree(state.m, state.x, lo, hi, depth)
+        del levels
+        npad = _round_up(n, n_shards * tile)
+        mp, xp = _pad_bodies(ms, xs, npad)
+        a_all, over, tree_size, root_mass = mapped(
+            mp, xp, jnp.stack([lo, hi])
+        )
+        a_sorted = a_all[:n]
+        a = jnp.zeros_like(a_sorted).at[perm].set(a_sorted)
+        state = dataclasses.replace(state, a=a)
+        aux = {"overflow": over, "tree_size": tree_size,
+               "root_mass": root_mass}
+        return leapfrog_step(state, cfg.dt), aux
+
+    return step

@@ -3,12 +3,19 @@
 Each engine owns one force algorithm and mirrors one of the reference's
 run_* entry points (src/all_pairs.h:108-116, src/octree.h:266, src/bvh.h:327):
 
-  make_step(cfg, opts)     -> jitted state -> state   (force + leapfrog, the
-                              unit of the fast scan loop)
-  make_detailed(cfg, opts) -> state -> (state, {phase: seconds}) for the
-                              --csv-detailed per-phase timing mode
+  make_step(cfg, opts)     -> jitted (state, k) -> (state, aux)   (force +
+                              leapfrog, the unit of the fast scan loop).
+                              aux is a dict of per-step scalars computed
+                              inside the jitted step: always "overflow"
+                              (int32 count of truncated interaction-list
+                              tiles; 0 for exact engines), plus
+                              "tree_size"/"root_mass" for tree engines so
+                              --print-info reports the step's REAL tree
+                              (octree.h:313-316) in every mode.
+  make_detailed(cfg, opts) -> state -> (state, {phase: seconds}, aux) for
+                              the --csv-detailed per-phase timing mode
   csv_phases               -> extra CSV columns after force/accel
-  info(state, cfg)         -> per-step --print-info lines (or None)
+  info(state, cfg, aux)    -> per-step --print-info lines (or None)
 
 The step order is force-then-integrate exactly as the reference kernels()
 lambdas: the force engine fills `a` from current positions, then leapfrog
@@ -22,11 +29,17 @@ import time as _time
 from typing import Callable
 
 import jax
+import jax.numpy as jnp
 
 from nbody_tpu.config import SimConfig
 from nbody_tpu.state import SystemState
 from nbody_tpu.ops.allpairs import allpairs_accel, allpairs_collapsed_accel
 from nbody_tpu.ops.integrator import leapfrog_step
+
+
+def no_aux() -> dict:
+    """aux dict for engines that cannot truncate forces."""
+    return {"overflow": jnp.zeros((), jnp.int32)}
 
 
 @dataclasses.dataclass
@@ -79,10 +92,10 @@ class AllPairsEngine:
         accel = self._accel_fn(cfg, opts)
 
         @jax.jit
-        def step(state: SystemState, k) -> SystemState:
+        def step(state: SystemState, k):
             a = accel(state.m, state.x)
             state = dataclasses.replace(state, a=a)
-            return leapfrog_step(state, cfg.dt)
+            return leapfrog_step(state, cfg.dt), no_aux()
 
         return step
 
@@ -94,11 +107,11 @@ class AllPairsEngine:
             a, t_force = _timed(accel, state.m, state.x)
             state = dataclasses.replace(state, a=a)
             state, t_accel = _timed(integrate, state)
-            return state, {"force": t_force, "accel": t_accel}
+            return state, {"force": t_force, "accel": t_accel}, no_aux()
 
         return detailed
 
-    def info(self, state, cfg):
+    def info(self, state, cfg, aux=None):
         return None
 
 
@@ -126,10 +139,10 @@ class AllPairsCollapsedEngine(AllPairsEngine):
         accel = self._accel_fn(cfg, opts)
 
         @jax.jit
-        def step(state: SystemState, k) -> SystemState:
+        def step(state: SystemState, k):
             a = accel(state.m, state.x, state.a)
             state = dataclasses.replace(state, a=a)
-            return leapfrog_step(state, cfg.dt)
+            return leapfrog_step(state, cfg.dt), no_aux()
 
         return step
 
@@ -141,7 +154,7 @@ class AllPairsCollapsedEngine(AllPairsEngine):
             a, t_force = _timed(accel, state.m, state.x, state.a)
             state = dataclasses.replace(state, a=a)
             state, t_accel = _timed(integrate, state)
-            return state, {"force": t_force, "accel": t_accel}
+            return state, {"force": t_force, "accel": t_accel}, no_aux()
 
         return detailed
 

@@ -61,14 +61,30 @@ def _precision_bits(dtype) -> int:
 def _make_scan(step_fn, count: int, k0: int):
     """Jitted scan of `count` steps (no per-step host sync). step_fn(state,
     k) receives the global step index (tree engines use it for re-sort
-    cadence)."""
+    cadence) and returns (state, aux); the scan returns (state, stacked
+    aux) so per-step diagnostics (overflow counters) survive the scan."""
 
     @jax.jit
     def run(s):
         ks = k0 + jnp.arange(count)
-        return jax.lax.scan(lambda c, k: (step_fn(c, k), None), s, ks)[0]
+        return jax.lax.scan(lambda c, k: step_fn(c, k), s, ks)
 
     return run
+
+
+def _check_overflow(aux) -> None:
+    """Fail loudly on interaction-list truncation: a nonzero overflow means
+    tiles beyond the exact-fallback budget LOST force contributions."""
+    if not aux or "overflow" not in aux:
+        return
+    total = int(np.asarray(jnp.sum(aux["overflow"])))
+    if total > 0:
+        print(
+            f"WARNING: interaction-list overflow on {total} tile-step(s); "
+            "some forces were truncated. Increase --group-tile or the list "
+            "caps, or use --traversal per-body.",
+            file=sys.stderr,
+        )
 
 
 def run_algorithm(algo_name: str, cfg: SimConfig, state: SystemState,
@@ -104,37 +120,47 @@ def run_algorithm(algo_name: str, cfg: SimConfig, state: SystemState,
 
     if opts.csv_detailed:
         detailed = engine.make_detailed(cfg, opts.engine_opts)
+        overflow_total = 0
         t0 = _time.perf_counter()
         for _ in range(opts.steps):
-            state, phases = detailed(state)
+            state, phases, aux = detailed(state)
             for k, v in phases.items():
                 phase_totals[k] = phase_totals.get(k, 0.0) + v
+            if aux and "overflow" in aux:
+                overflow_total += int(np.asarray(aux["overflow"]))
             if opts.print_info:
-                msg = engine.info(state, cfg)
+                msg = engine.info(state, cfg, aux)
                 if msg:
                     print(msg, file=out, end="")
             saver.save_all(state, cfg)
         sync(state)
         dt_total = _time.perf_counter() - t0
+        _check_overflow({"overflow": jnp.asarray(overflow_total)})
     else:
         step_fn = engine.make_step(cfg, opts.engine_opts)
         per_step_host = opts.print_info  # host output forces per-step sync
         timed = max(0, opts.steps - opts.warmup_steps)
 
         def run_per_step(s: SystemState, count: int, k0: int) -> SystemState:
+            nonlocal host_overflow
             for k in range(k0, k0 + count):
-                s = step_fn(s, k)
-                msg = engine.info(s, cfg)
+                s, aux = step_fn(s, k)
+                if aux and "overflow" in aux:
+                    host_overflow += int(np.asarray(aux["overflow"]))
+                msg = engine.info(s, cfg, aux)
                 if msg:
                     print(msg, file=out, end="")
             return s
 
+        host_overflow = 0
         if per_step_host:
             state = run_per_step(state, opts.warmup_steps, 0)
             sync(state)
             t0 = _time.perf_counter()
             state = run_per_step(state, timed, opts.warmup_steps)
             sync(state)
+            dt_total = _time.perf_counter() - t0
+            _check_overflow({"overflow": jnp.asarray(host_overflow)})
         else:
             # precompile the timed block BEFORE the timer so the reported
             # seconds measure execution, not XLA compilation (the reference
@@ -143,14 +169,18 @@ def run_algorithm(algo_name: str, cfg: SimConfig, state: SystemState,
             timed_run = _make_scan(step_fn, timed, opts.warmup_steps) if timed else None
             if timed_run is not None:
                 timed_run = timed_run.lower(state).compile()
+            aux_w = aux_t = None
             if opts.warmup_steps > 0:
-                state = warm_run(state)
+                state, aux_w = warm_run(state)
             sync(state)
             t0 = _time.perf_counter()
             if timed_run is not None:
-                state = timed_run(state)
+                state, aux_t = timed_run(state)
             sync(state)
-        dt_total = _time.perf_counter() - t0
+            dt_total = _time.perf_counter() - t0
+            for aux in (aux_w, aux_t):
+                if aux is not None:
+                    _check_overflow(aux)
         reported_steps = opts.steps - opts.warmup_steps
 
     if opts.csv_detailed or opts.csv_total:

@@ -37,12 +37,16 @@ class BVHEngine:
         trav = opts.traversal
         gtile = opts.group_tile
 
+        if opts.mesh > 1:
+            return self._make_step_sharded(cfg, opts)
+
         if sort_every == 1:
             @jax.jit
-            def step(state: SystemState, k) -> SystemState:
-                state, _ = bvh_step_force(state, theta, G, eps, traversal=trav,
-                                          group_tile=gtile)
-                return leapfrog_step(state, cfg.dt)
+            def step(state: SystemState, k):
+                state, _, aux = bvh_step_force(state, theta, G, eps,
+                                               traversal=trav,
+                                               group_tile=gtile)
+                return leapfrog_step(state, cfg.dt), aux
 
             return step
 
@@ -52,8 +56,8 @@ class BVHEngine:
         # aabbs grow a little). The cadence is a traced cond on the step
         # index so it works inside the runner's lax.scan.
         @jax.jit
-        def step(state: SystemState, k) -> SystemState:
-            state, _ = jax.lax.cond(
+        def step(state: SystemState, k):
+            state, _, aux = jax.lax.cond(
                 jnp.mod(k, sort_every) == 0,
                 lambda s: bvh_step_force(s, theta, G, eps, resort=True,
                                          traversal=trav, group_tile=gtile),
@@ -61,9 +65,17 @@ class BVHEngine:
                                          traversal=trav, group_tile=gtile),
                 state,
             )
-            return leapfrog_step(state, cfg.dt)
+            return leapfrog_step(state, cfg.dt), aux
 
         return step
+
+    def _make_step_sharded(self, cfg: SimConfig, opts: EngineOptions):
+        """--mesh N: replicated Hilbert sort + tree build, body-sharded
+        group evaluation over the device mesh (the rebuild's own north
+        star; the reference is single-device)."""
+        from nbody_tpu.parallel.tree_sharded import make_sharded_bvh_step
+
+        return make_sharded_bvh_step(cfg, opts)
 
     def make_detailed(self, cfg: SimConfig, opts: EngineOptions):
         from nbody_tpu.ops.bvh import (
@@ -92,11 +104,14 @@ class BVHEngine:
             force_fn = jax.jit(
                 lambda tree, m, x: compute_force_grouped(
                     tree, m, x, theta, G, eps, tile=opts.group_tile
-                )[0]
+                )
             )
         else:
             force_fn = jax.jit(
-                lambda tree, m, x: compute_force(tree, m, x, theta, G, eps)
+                lambda tree, m, x: (
+                    compute_force(tree, m, x, theta, G, eps),
+                    {"node_overflow": jnp.zeros((), jnp.int32)},
+                )
             )
         integrate = jax.jit(lambda s: leapfrog_step(s, cfg.dt))
 
@@ -107,22 +122,26 @@ class BVHEngine:
             state, t_apply = _timed(permute_fn, state, perm)
             phases["sort"] = t_perm + t_apply
             tree, phases["multipoles"] = _timed(build_fn, state.m, state.x)
-            a, phases["force approx"] = _timed(force_fn, tree, state.m, state.x)
+            (a, finfo), phases["force approx"] = _timed(
+                force_fn, tree, state.m, state.x
+            )
             state = dataclasses.replace(state, a=a)
             phases["force"] = sum(
                 phases[k] for k in ("bbox", "sort", "multipoles", "force approx")
             )
             state, phases["accel"] = _timed(integrate, state)
-            self._last_tree = tree
-            return state, phases
+            aux = {
+                "overflow": finfo["node_overflow"],
+                "root_mass": tree.mm[0],
+            }
+            return state, phases, aux
 
         return detailed
 
-    def info(self, state, cfg) -> str:
+    def info(self, state, cfg, aux=None) -> str:
         """--print-info: total mass = root monopole mass (bvh.h:377)."""
-        tree = getattr(self, "_last_tree", None)
-        if tree is not None:
-            root_mass = float(np.asarray(tree.mm[0]))
+        if aux is not None and "root_mass" in aux:
+            root_mass = float(np.asarray(aux["root_mass"]))
         else:
             root_mass = float(np.asarray(jnp.sum(state.m)))
         return f"Total mass: {root_mass: .5f}\n"
@@ -143,11 +162,16 @@ class OctreeEngine:
         trav = opts.traversal
         gtile = opts.group_tile
 
+        if opts.mesh > 1:
+            from nbody_tpu.parallel.tree_sharded import make_sharded_octree_step
+
+            return make_sharded_octree_step(cfg, opts)
+
         @jax.jit
-        def step(state: SystemState, k) -> SystemState:
-            state, _ = octree_step_force(state, theta, G, eps, depth,
-                                         traversal=trav, group_tile=gtile)
-            return leapfrog_step(state, cfg.dt)
+        def step(state: SystemState, k):
+            state, _, aux = octree_step_force(state, theta, G, eps, depth,
+                                              traversal=trav, group_tile=gtile)
+            return leapfrog_step(state, cfg.dt), aux
 
         return step
 
@@ -175,12 +199,13 @@ class OctreeEngine:
                 lambda levels, ms, xs, side: octree_grouped(
                     levels, ms, xs, side, theta, G, eps,
                     tile=opts.group_tile
-                )[0]
+                )
             )
         else:
             force_fn = jax.jit(
-                lambda levels, ms, xs, side: compute_force(
-                    levels, ms, xs, side, theta, G, eps
+                lambda levels, ms, xs, side: (
+                    compute_force(levels, ms, xs, side, theta, G, eps),
+                    {"node_overflow": jnp.zeros((), jnp.int32)},
                 )
             )
 
@@ -199,7 +224,7 @@ class OctreeEngine:
             # monopoles are fused into the build (segmented reductions);
             # report them under "multipoles" as a separate timing of zero
             phases["multipoles"] = 0.0
-            a_sorted, phases["force approx"] = _timed(
+            (a_sorted, finfo), phases["force approx"] = _timed(
                 force_fn, levels, ms, xs, hi - lo
             )
             a, t_scatter = _timed(scatter_fn, a_sorted, perm)
@@ -210,17 +235,23 @@ class OctreeEngine:
                 for k in ("clear", "bbox", "insert", "multipoles", "force approx")
             )
             state, phases["accel"] = _timed(integrate, state)
-            self._last_levels = levels
-            return state, phases
+            aux = {
+                "overflow": finfo["node_overflow"],
+                "tree_size": jnp.sum(levels.count > 0).astype(jnp.int32),
+                "root_mass": levels.mass[0],
+            }
+            return state, phases, aux
 
         return detailed
 
-    def info(self, state, cfg) -> str:
-        """--print-info: tree size and root mass (octree.h:313-316)."""
-        levels = getattr(self, "_last_levels", None)
-        if levels is not None:
-            size = int(np.sum(np.asarray(levels.count) > 0))
-            root_mass = float(np.asarray(levels.mass[0]))
+    def info(self, state, cfg, aux=None) -> str:
+        """--print-info: tree size and root mass (octree.h:313-316),
+        computed from the step's ACTUAL tree via the aux scalars the
+        jitted step returns (round 1 printed 'Tree size: 0' in default
+        mode because the tree only existed inside the jit)."""
+        if aux is not None and "tree_size" in aux:
+            size = int(np.asarray(aux["tree_size"]))
+            root_mass = float(np.asarray(aux["root_mass"]))
         else:
             size = 0
             root_mass = float(np.asarray(jnp.sum(state.m)))

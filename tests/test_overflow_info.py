@@ -1,0 +1,89 @@
+"""Fail-loud overflow plumbing and --print-info fidelity (VERDICT round-1
+items 6 and 7): interaction-list truncation must reach the user as a
+warning, and print-info must report the step's real tree in every mode."""
+
+import io
+
+import numpy as np
+import jax.numpy as jnp
+import pytest
+
+from nbody_tpu.models import build_galaxy_model
+from nbody_tpu.sim.engines import EngineOptions
+from nbody_tpu.sim.runner import RunOptions, _check_overflow, run_simulation
+
+
+def test_check_overflow_warns(capsys):
+    _check_overflow({"overflow": jnp.asarray([0, 3, 1])})
+    err = capsys.readouterr().err
+    assert "overflow" in err and "4" in err
+
+
+def test_check_overflow_silent_when_zero(capsys):
+    _check_overflow({"overflow": jnp.zeros((5,), jnp.int32)})
+    assert capsys.readouterr().err == ""
+
+
+def test_grouped_overflow_reported_with_tiny_caps(f32_eps):
+    """Force truncation by shrinking the static caps far below demand: the
+    info dict must report it (this is the signal the runner surfaces)."""
+    from nbody_tpu.ops.bvh import build_tree
+    from nbody_tpu.ops.bvh_group import compute_force_grouped
+
+    cfg, state = build_galaxy_model(512, 2, np.float32)
+    tree = build_tree(state.m, state.x, f32_eps)
+    _, info = compute_force_grouped(
+        tree, state.m, state.x, 0.5, 1.0, f32_eps, tile=32,
+        cap_nodes=2, cap_leaves=2,
+    )
+    assert int(info["node_overflow"]) > 0
+
+
+def test_runner_surfaces_overflow_warning(capsys, monkeypatch, tmp_path):
+    """End-to-end: a run whose traversal overflows prints the warning.
+    Caps are forced tiny by monkeypatching default_caps."""
+    import nbody_tpu.ops.bvh_group as bg
+
+    monkeypatch.setattr(bg, "default_caps", lambda n, theta: (2, 2))
+    monkeypatch.chdir(tmp_path)
+    cfg, state = build_galaxy_model(512, 2, np.float32)
+    cfg = cfg.replace(theta=0.5)
+    opts = RunOptions(
+        steps=2, warmup_steps=1, out=io.StringIO(),
+        engine_opts=EngineOptions(group_tile=32),
+    )
+    run_simulation("bvh", cfg, state, opts)
+    err = capsys.readouterr().err
+    assert "overflow" in err
+
+
+def test_print_info_default_mode_reports_real_tree(tmp_path, monkeypatch):
+    """Default (non-detailed) octree runs print a nonzero tree size and the
+    true root mass every step (octree.h:313-316 semantics; round 1 printed
+    'Tree size: 0' here)."""
+    monkeypatch.chdir(tmp_path)
+    out = io.StringIO()
+    cfg, state = build_galaxy_model(64, 2, np.float32)
+    opts = RunOptions(steps=3, warmup_steps=1, print_info=True, out=out)
+    run_simulation("octree", cfg, state, opts)
+    text = out.getvalue()
+    sizes = [int(line.split(":")[1]) for line in text.splitlines()
+             if line.startswith("Tree size:")]
+    masses = [float(line.split(":")[1]) for line in text.splitlines()
+              if line.startswith("Total mass:")]
+    assert len(sizes) == 3 and all(s > 0 for s in sizes)
+    total = float(np.asarray(jnp.sum(state.m)))
+    assert all(abs(ms - total) / total < 1e-4 for ms in masses)
+
+
+def test_print_info_detailed_mode_matches(tmp_path, monkeypatch):
+    monkeypatch.chdir(tmp_path)
+    out = io.StringIO()
+    cfg, state = build_galaxy_model(64, 2, np.float32)
+    opts = RunOptions(steps=2, warmup_steps=0, print_info=True,
+                      csv_detailed=True, out=out)
+    run_simulation("octree", cfg, state, opts)
+    text = out.getvalue()
+    sizes = [int(line.split(":")[1]) for line in text.splitlines()
+             if line.startswith("Tree size:")]
+    assert len(sizes) == 2 and all(s > 0 for s in sizes)

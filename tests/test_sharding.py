@@ -96,6 +96,60 @@ def test_entry_compiles():
     assert out.x.shape == args[0].x.shape
 
 
+@pytest.mark.parametrize("algo", ["bvh", "octree"])
+def test_sharded_tree_step_theta0_parity(algo, f32_eps):
+    """--mesh 8 tree step == single-device step at theta=0 (exact direct
+    sum on both sides; VERDICT round-1 item 4: mesh wired into trees)."""
+    from nbody_tpu.models import build_galaxy_model
+    from nbody_tpu.sim.engines import EngineOptions, get_engine
+
+    cfg, state = build_galaxy_model(96, 2, np.float32)
+    cfg = cfg.replace(theta=0.0)
+
+    single = get_engine(algo).make_step(cfg, EngineOptions(mesh=1))
+    sharded = get_engine(algo).make_step(cfg, EngineOptions(mesh=8))
+
+    s1, aux1 = single(state, 0)
+    s8, aux8 = sharded(state, 0)
+    assert int(aux8["overflow"]) == 0
+    a1 = np.asarray(s1.x)
+    a8 = np.asarray(s8.x)
+    if algo == "bvh":
+        # bvh steps physically reorder bodies; compare as sorted sets
+        a1 = a1[np.lexsort(a1.T)]
+        a8 = a8[np.lexsort(a8.T)]
+    scale = np.abs(a1).max()
+    assert np.abs(a1 - a8).max() / scale < 1e-6
+    if algo == "octree":
+        assert int(aux8["tree_size"]) > 0
+    assert np.isclose(
+        float(aux8["root_mass"]), float(np.asarray(jnp.sum(state.m))),
+        rtol=1e-5,
+    )
+
+
+@pytest.mark.slow
+def test_sharded_tree_step_mac_parity():
+    """theta=0.5: sharded group evaluation == local group evaluation.  n
+    is chosen so neither side pads (4096 = 8 shards x 512 tile =
+    bit_ceil(4096)): the trees are bit-identical, the tile set is the
+    same, and the rows are merely partitioned over shards."""
+    from nbody_tpu.models import build_galaxy_model
+    from nbody_tpu.sim.engines import EngineOptions, get_engine
+
+    cfg, state = build_galaxy_model(4096, 2, np.float32)
+    cfg = cfg.replace(theta=0.5)
+    single = get_engine("bvh").make_step(cfg, EngineOptions(mesh=1))
+    sharded = get_engine("bvh").make_step(cfg, EngineOptions(mesh=8))
+    s1, _ = single(state, 0)
+    s8, _ = sharded(state, 0)
+    a1 = np.asarray(s1.x)
+    a8 = np.asarray(s8.x)
+    a1 = a1[np.lexsort(a1.T)]
+    a8 = a8[np.lexsort(a8.T)]
+    assert np.abs(a1 - a8).max() / np.abs(a1).max() < 1e-6
+
+
 @pytest.mark.parametrize("n", [64, 100])
 def test_sharded_bvh_matches_local(n, f32_eps):
     """Replicated-tree sharded BVH == single-device group BVH on sorted

@@ -62,7 +62,7 @@ def test_bvh_theta0_equals_allpairs(dim, clustered, f32_eps):
     direct sum (README.md:122-129)."""
     m, x = _system(150, dim, clustered=clustered)
     st = _state(m, x)
-    out, _ = bvh_step_force(st, 0.0, 1.0, f32_eps)
+    out, _, _ = bvh_step_force(st, 0.0, 1.0, f32_eps)
     # compare in the sorted order the engine returns
     a_ref = allpairs_accel_dense(out.m, out.x, 1.0, f32_eps)
     scale = float(jnp.max(jnp.abs(a_ref))) + 1e-30
@@ -92,7 +92,7 @@ def test_octree_theta0_equals_direct_sum(dim, clustered, f32_eps):
     m, x = _system(150, dim, clustered=clustered)
     st = _state(m, x)
     depth = max_depth(150, dim)
-    out, _ = octree_step_force(st, 0.0, 1.0, f32_eps, depth)
+    out, _, _ = octree_step_force(st, 0.0, 1.0, f32_eps, depth)
     # octree preserves body order (no permutation)
     a_ref = _allpairs_octree_softening(m, x, 1.0, f32_eps)
     scale = float(jnp.max(jnp.abs(a_ref))) + 1e-30
@@ -110,7 +110,7 @@ def test_octree_theta0_matches_allpairs_when_separated(f32_eps):
     x = jnp.asarray((g + rng.uniform(0.2, 0.8, (64, 2))).astype(np.float32))
     m = jnp.asarray(rng.uniform(0.5, 1.0, n).astype(np.float32))
     st = _state(m, x)
-    out, _ = octree_step_force(st, 0.0, 1.0, f32_eps, max_depth(n, 2))
+    out, _, _ = octree_step_force(st, 0.0, 1.0, f32_eps, max_depth(n, 2))
     a_ref = allpairs_accel_dense(m, x, 1.0, f32_eps)
     scale = float(jnp.max(jnp.abs(a_ref)))
     assert float(jnp.max(jnp.abs(out.a - a_ref))) / scale < 1e-5
@@ -119,7 +119,7 @@ def test_octree_theta0_matches_allpairs_when_separated(f32_eps):
 def test_octree_preserves_body_order(f32_eps):
     m, x = _system(64, 2)
     st = _state(m, x)
-    out, _ = octree_step_force(st, 0.5, 1.0, f32_eps, max_depth(64, 2))
+    out, _, _ = octree_step_force(st, 0.5, 1.0, f32_eps, max_depth(64, 2))
     np.testing.assert_array_equal(np.asarray(out.x), np.asarray(x))
     np.testing.assert_array_equal(np.asarray(out.m), np.asarray(m))
 
@@ -129,7 +129,7 @@ def test_bvh_permutes_state(f32_eps):
     exactly like hilbert_sort physically reorders the reference System."""
     m, x = _system(64, 2, clustered=True)
     st = _state(m, x)
-    out, _ = bvh_step_force(st, 0.5, 1.0, f32_eps)
+    out, _, _ = bvh_step_force(st, 0.5, 1.0, f32_eps)
     xmin, xmax = aabb_of_points(x, f32_eps)
     perm = hilbert_sort_perm(x, xmin, xmax)
     np.testing.assert_array_equal(np.asarray(out.x), np.asarray(x[perm]))
@@ -144,11 +144,11 @@ def test_theta05_close_to_exact(engine, f32_eps):
     m, x = _system(500, 2, clustered=True, seed=5)
     st = _state(m, x)
     if engine == "bvh":
-        out, _ = bvh_step_force(st, 0.5, 1.0, f32_eps)
+        out, _, _ = bvh_step_force(st, 0.5, 1.0, f32_eps)
         a_ref = allpairs_accel_dense(out.m, out.x, 1.0, f32_eps)
         a = out.a
     else:
-        out, _ = octree_step_force(st, 0.5, 1.0, f32_eps, max_depth(500, 2))
+        out, _, _ = octree_step_force(st, 0.5, 1.0, f32_eps, max_depth(500, 2))
         # exact direct sum with the octree's own softening (see
         # _allpairs_octree_softening for why all-pairs' differs)
         a_ref = _allpairs_octree_softening(m, x, 1.0, f32_eps)
@@ -163,7 +163,7 @@ def test_theta05_close_to_exact(engine, f32_eps):
 def test_bvh_single_and_two_bodies(f32_eps):
     m = jnp.asarray(np.array([1.0, 2.0], np.float32))
     x = jnp.asarray(np.array([[0.0, 0.0], [1.0, 0.0]], np.float32))
-    out, _ = bvh_step_force(_state(m, x), 0.5, 1.0, f32_eps)
+    out, _, _ = bvh_step_force(_state(m, x), 0.5, 1.0, f32_eps)
     a_ref = allpairs_accel_dense(out.m, out.x, 1.0, f32_eps)
     np.testing.assert_allclose(np.asarray(out.a), np.asarray(a_ref), rtol=1e-5)
 
@@ -174,7 +174,7 @@ def test_octree_coincident_bodies(f32_eps):
     x = jnp.asarray(
         np.array([[0.5, 0.5], [0.5, 0.5], [3.0, 3.0]], np.float32)
     )
-    out, _ = octree_step_force(_state(m, x), 0.0, 1.0, f32_eps, 4)
+    out, _, _ = octree_step_force(_state(m, x), 0.0, 1.0, f32_eps, 4)
     a_ref = allpairs_accel_dense(m, x, 1.0, f32_eps)
     assert np.all(np.isfinite(np.asarray(out.a)))
     np.testing.assert_allclose(np.asarray(out.a), np.asarray(a_ref), rtol=1e-5,
@@ -184,7 +184,7 @@ def test_octree_coincident_bodies(f32_eps):
 def test_double_precision_trees(f64_eps):
     m, x = _system(100, 2, dtype=np.float64)
     st = _state(m, x)
-    out, _ = bvh_step_force(st, 0.0, 1.0, f64_eps)
+    out, _, _ = bvh_step_force(st, 0.0, 1.0, f64_eps)
     a_ref = allpairs_accel_dense(out.m, out.x, 1.0, f64_eps)
     scale = float(jnp.max(jnp.abs(a_ref)))
     assert float(jnp.max(jnp.abs(out.a - a_ref))) / scale < 1e-12
@@ -199,7 +199,7 @@ def test_group_theta0_equals_allpairs(f32_eps):
 
     m, x = _system(200, 2, clustered=True, seed=9)
     st = _state(m, x)
-    out, _ = bvh_step_force(st, 0.0, 1.0, f32_eps, traversal="group")
+    out, _, _ = bvh_step_force(st, 0.0, 1.0, f32_eps, traversal="group")
     a_ref = allpairs_accel_dense(out.m, out.x, 1.0, f32_eps)
     scale = float(jnp.max(jnp.abs(a_ref))) + 1e-30
     assert float(jnp.max(jnp.abs(out.a - a_ref))) / scale < 1e-5
@@ -211,8 +211,8 @@ def test_group_at_least_as_accurate_as_perbody(dim, f32_eps):
     group forces are never farther from the exact sum."""
     m, x = _system(600, dim, clustered=True, seed=4)
     st = _state(m, x)
-    out_g, _ = bvh_step_force(st, 0.5, 1.0, f32_eps, traversal="group")
-    out_p, _ = bvh_step_force(st, 0.5, 1.0, f32_eps, traversal="per-body")
+    out_g, _, _ = bvh_step_force(st, 0.5, 1.0, f32_eps, traversal="group")
+    out_p, _, _ = bvh_step_force(st, 0.5, 1.0, f32_eps, traversal="per-body")
     a_exact = allpairs_accel_dense(out_g.m, out_g.x, 1.0, f32_eps)
     err_g = float(jnp.linalg.norm(out_g.a - a_exact))
     err_p = float(jnp.linalg.norm(out_p.a - a_exact))
@@ -249,7 +249,7 @@ def test_group_no_overflow_on_galaxy(f32_eps):
 def test_octree_group_theta0_equals_direct_sum(f32_eps):
     m, x = _system(150, 2, clustered=True, seed=3)
     st = _state(m, x)
-    out, _ = octree_step_force(st, 0.0, 1.0, f32_eps, max_depth(150, 2),
+    out, _, _ = octree_step_force(st, 0.0, 1.0, f32_eps, max_depth(150, 2),
                                traversal="group")
     a_ref = _allpairs_octree_softening(m, x, 1.0, f32_eps)
     scale = float(jnp.max(jnp.abs(a_ref))) + 1e-30
@@ -261,8 +261,8 @@ def test_octree_group_at_least_as_accurate(dim, f32_eps):
     m, x = _system(600, dim, clustered=True, seed=4)
     st = _state(m, x)
     depth = max_depth(600, dim)
-    out_g, _ = octree_step_force(st, 0.5, 1.0, f32_eps, depth, traversal="group")
-    out_p, _ = octree_step_force(st, 0.5, 1.0, f32_eps, depth, traversal="per-body")
+    out_g, _, _ = octree_step_force(st, 0.5, 1.0, f32_eps, depth, traversal="group")
+    out_p, _, _ = octree_step_force(st, 0.5, 1.0, f32_eps, depth, traversal="per-body")
     a_exact = _allpairs_octree_softening(m, x, 1.0, f32_eps)
     err_g = float(jnp.linalg.norm(out_g.a - a_exact))
     err_p = float(jnp.linalg.norm(out_p.a - a_exact))
