@@ -160,6 +160,52 @@ def allpairs_accel_pallas(
     return jnp.asarray(G, dtype) * out[:n]
 
 
+@functools.partial(
+    jax.jit,
+    static_argnames=("eps", "tile_i", "tile_j", "interpret", "exact", "fast"),
+)
+def allpairs_block_pallas(
+    xi: jnp.ndarray,
+    mj: jnp.ndarray,
+    xj: jnp.ndarray,
+    eps: float,
+    tile_i: int = 512,
+    tile_j: int = 2048,
+    interpret: bool = False,
+    exact: bool = False,
+    fast: bool = False,
+) -> jnp.ndarray:
+    """Raw (G-less) accelerations of the `xi` rows against the (mj, xj)
+    body block -- the Pallas analog of allpairs.accel_rows_raw, used as
+    the per-rotation block force inside the multi-chip ppermute ring
+    (parallel/ring.py).  Same per-pair math as the square kernel."""
+    ni_, dim = xi.shape
+    nj_ = xj.shape[0]
+    dtype = xi.dtype
+    nip = _round_up(max(ni_, tile_i), tile_i)
+    njp = _round_up(max(nj_, tile_j), tile_j)
+    xip = jnp.pad(xi, ((0, nip - ni_), (0, 0)))
+    xjp = jnp.pad(xj, ((0, njp - nj_), (0, 0)))
+    mjp = jnp.pad(mj, (0, njp - nj_)).reshape(1, njp)
+
+    far_thresh = float((eps / 1e-6) ** (2.0 / 3.0))
+    kernel = functools.partial(_allpairs_kernel, dim, float(eps), exact,
+                               bool(fast), far_thresh)
+    out = pl.pallas_call(
+        kernel,
+        grid=(nip // tile_i, njp // tile_j),
+        in_specs=[
+            pl.BlockSpec((tile_i, dim), lambda i, j: (i, 0)),
+            pl.BlockSpec((dim, tile_j), lambda i, j: (0, j)),
+            pl.BlockSpec((1, tile_j), lambda i, j: (0, j)),
+        ],
+        out_specs=pl.BlockSpec((tile_i, dim), lambda i, j: (i, 0)),
+        out_shape=jax.ShapeDtypeStruct((nip, dim), dtype),
+        interpret=interpret,
+    )(xip, xjp.T, mjp)
+    return out[:ni_]
+
+
 def _pe_kernel(eps: float, tile_i: int, tile_j: int, mi_ref, xi_ref, xjt_ref,
                mj_ref, out_ref):
     """Per-body potential-energy partial sums: out_i = m_i * sum_{j != i}

@@ -20,6 +20,7 @@ import functools
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
 from nbody_tpu.config import SimConfig
@@ -31,14 +32,17 @@ def _round_up(x: int, m: int) -> int:
     return -(-x // m) * m
 
 
-def _ring_shard_fn(n_shards: int, eps: float, G: float, m_loc, x_loc):
+def _ring_shard_fn(n_shards: int, eps: float, G: float, block_force,
+                   m_loc, x_loc):
     """Runs inside shard_map: m_loc (nl,), x_loc (nl, dim) are this shard's
-    bodies. Returns this shard's accelerations (nl, dim)."""
+    bodies. Returns this shard's accelerations (nl, dim).  block_force
+    (xi, mj, xj) -> raw accel is the per-rotation kernel -- the jnp block
+    fallback or the tiled Pallas kernel."""
     perm = [(s, (s + 1) % n_shards) for s in range(n_shards)]
 
     def body(carry, _):
         acc, mj, xj = carry
-        acc = acc + accel_rows_raw(x_loc, mj, xj, eps)
+        acc = acc + block_force(x_loc, mj, xj)
         mj = jax.lax.ppermute(mj, BODY_AXIS, perm)
         xj = jax.lax.ppermute(xj, BODY_AXIS, perm)
         return (acc, mj, xj), None
@@ -51,22 +55,55 @@ def _ring_shard_fn(n_shards: int, eps: float, G: float, m_loc, x_loc):
 
 
 def make_ring_allpairs(cfg: SimConfig, n_shards: int, use_pallas: bool = False,
-                       mesh: Mesh | None = None):
+                       mesh: Mesh | None = None,
+                       pallas_interpret: bool = False,
+                       tile_i: int = 512, tile_j: int = 2048):
     """Build an accel(m, x) callable that shards bodies over `n_shards`
-    devices and computes all-pairs via the ppermute ring. Global-view: takes
-    and returns unsharded (n,)-shaped arrays; jit + shard_map place the
-    per-shard compute. use_pallas currently selects the jnp block kernel
-    only (the Pallas block variant lands with the perf pass)."""
+    devices and computes all-pairs via the ppermute ring. Global-view:
+    takes and returns unsharded (n,)-shaped arrays; jit + shard_map place
+    the per-shard compute.  use_pallas=True runs the tiled Pallas block
+    kernel per rotation (fp32 only) so sharded throughput scales the
+    single-chip kernel number; pallas_interpret runs it in interpreter
+    mode (CPU-mesh tests)."""
     if mesh is None:
         mesh = body_mesh(n_shards)
 
-    shard_fn = functools.partial(_ring_shard_fn, n_shards, cfg.eps, cfg.G)
-    mapped = jax.shard_map(
-        shard_fn,
-        mesh=mesh,
-        in_specs=(P(BODY_AXIS), P(BODY_AXIS, None)),
-        out_specs=P(BODY_AXIS, None),
-    )
+    eps = cfg.eps
+    if use_pallas and np.dtype(cfg.dtype) == np.float32:
+        from nbody_tpu.ops.pallas_allpairs import allpairs_block_pallas
+
+        # per-shard blocks are n/n_shards rows; cap tiles accordingly
+        nl = max(1, _round_up(cfg.n, n_shards) // n_shards)
+        ti = min(tile_i, _round_up(nl, 8))
+        tj = min(tile_j, _round_up(nl, 128))
+
+        def block_force(xi, mj, xj):
+            return allpairs_block_pallas(xi, mj, xj, eps, tile_i=ti,
+                                         tile_j=tj,
+                                         interpret=pallas_interpret)
+    else:
+        def block_force(xi, mj, xj):
+            return accel_rows_raw(xi, mj, xj, eps)
+
+    shard_fn = functools.partial(_ring_shard_fn, n_shards, cfg.eps, cfg.G,
+                                 block_force)
+    try:
+        # check_vma off: pallas_call outputs don't carry vma annotations
+        mapped = jax.shard_map(
+            shard_fn,
+            mesh=mesh,
+            in_specs=(P(BODY_AXIS), P(BODY_AXIS, None)),
+            out_specs=P(BODY_AXIS, None),
+            check_vma=False,
+        )
+    except TypeError:  # older spelling
+        mapped = jax.shard_map(
+            shard_fn,
+            mesh=mesh,
+            in_specs=(P(BODY_AXIS), P(BODY_AXIS, None)),
+            out_specs=P(BODY_AXIS, None),
+            check_rep=False,
+        )
 
     def shard_fn_gathered(m_loc, x_loc):
         # all-gather the per-shard results so the output is replicated and

@@ -37,6 +37,20 @@ def test_ring_allpairs_matches_dense(n, dim, f32_eps):
     assert np.abs(a_ring - a_ref).max() / scale < 1e-5
 
 
+@pytest.mark.parametrize("n", [64, 100])
+def test_ring_allpairs_pallas_block(n, f32_eps):
+    """use_pallas=True runs the tiled Pallas block kernel per ring
+    rotation (interpret mode on the CPU mesh); values match the dense
+    oracle like the jnp block path does."""
+    m, x = _sys(n, 2)
+    cfg = SimConfig(n=n, dim=2, dtype=np.float32, G=2.0)
+    ring = make_ring_allpairs(cfg, 8, use_pallas=True, pallas_interpret=True)
+    a_ring = np.asarray(jax.jit(ring)(m, x))
+    a_ref = np.asarray(allpairs_accel_dense(m, x, 2.0, cfg.eps))
+    scale = np.abs(a_ref).max() + 1e-30
+    assert np.abs(a_ring - a_ref).max() / scale < 1e-5
+
+
 def test_ring_on_sharded_inputs(f32_eps):
     """Ring force with inputs actually placed on the mesh."""
     from jax.sharding import NamedSharding, PartitionSpec as P
