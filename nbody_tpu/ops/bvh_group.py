@@ -282,48 +282,61 @@ def compute_force_grouped(
     acc = acc.reshape(pad_tiles * tile, dim)[:npad]
 
     # ---- exact fallback for overflowed tiles --------------------------
-    # A tile spanning a Hilbert-curve discontinuity (e.g. the jump between
-    # the two galaxies) gets a giant bbox, rejects nearly every node, and
-    # blows past the list caps. Such tiles are rare (typically 1-2), so up
-    # to K_FB of them are re-evaluated EXACTLY against all bodies (their
-    # direct-sum demand was ~O(n) anyway) and their rows replace the
-    # truncated group result. Residual overflow beyond K_FB is reported.
-    K_FB = min(8, ntiles)
+    # A tile spanning a Hilbert-curve discontinuity (the jump between the
+    # two galaxies) or sitting in an extreme density contrast (a Plummer
+    # core, where even the reference's per-body walk degenerates to a
+    # near-direct sum) blows past the list caps.  EVERY such tile is
+    # re-evaluated exactly against all bodies: a bounded while_loop walks
+    # the overflow set in groups of K_GRP tiles (static shapes per
+    # iteration, dynamic trip count), so no force is ever truncated and
+    # the cost scales with the actual overflow count -- one group for the
+    # typical galaxy seam, the honest O(n^2)-degenerate cost for a
+    # Plummer core.
+    K_GRP = min(8, ntiles)
     scores = jnp.where(tile_over, ncount + lcount, -1)
-    _, fb_tiles = jax.lax.top_k(scores, K_FB)
-    fb_flag = tile_over[fb_tiles]                           # (K,)
-    xi_fb = xt[fb_tiles].reshape(K_FB * tile, dim)
+    _, order = jax.lax.top_k(scores, ntiles)                # overflow first
+    n_over = jnp.sum(tile_over)
+    n_groups = (n_over + K_GRP - 1) // K_GRP
 
     jchunk = 4096
     njpad = -(-n // jchunk) * jchunk
     xj_all = jnp.pad(x, ((0, njpad - n), (0, 0))).reshape(-1, jchunk, dim)
     mj_all = jnp.pad(m, (0, njpad - n)).reshape(-1, jchunk)
 
-    def fb_body(carry, blk):
-        mj, xj = blk
-        d = xj[None, :, :] - xi_fb[:, None, :]
-        d2 = jnp.sum(d * d, axis=-1)
-        wt = mj[None, :] / (d2 * jnp.sqrt(d2) + epsv)
-        return carry + jnp.einsum("kl,kld->kd", wt, d), None
+    def fb_group(g, acc):
+        tiles = jax.lax.dynamic_slice(order, (g * K_GRP,), (K_GRP,))
+        flags = tile_over[tiles]
+        xi_fb = xt[tiles].reshape(K_GRP * tile, dim)
 
-    fb_acc, _ = jax.lax.scan(
-        fb_body, jnp.zeros((K_FB * tile, dim), dtype), (mj_all, xj_all)
-    )
-    rows = (fb_tiles[:, None] * tile + jnp.arange(tile)[None, :]).reshape(-1)
-    current = acc[rows]
-    chosen = jnp.where(
-        jnp.repeat(fb_flag, tile)[:, None], fb_acc, current
-    )
-    acc = acc.at[rows].set(chosen, mode="drop")
+        def fb_body(carry, blk):
+            mj, xj = blk
+            d = xj[None, :, :] - xi_fb[:, None, :]
+            d2 = jnp.sum(d * d, axis=-1)
+            wt = mj[None, :] / (d2 * jnp.sqrt(d2) + epsv)
+            return carry + jnp.einsum("kl,kld->kd", wt, d), None
+
+        fb_acc, _ = jax.lax.scan(
+            fb_body, jnp.zeros((K_GRP * tile, dim), dtype), (mj_all, xj_all)
+        )
+        rows = (tiles[:, None] * tile + jnp.arange(tile)[None, :]).reshape(-1)
+        chosen = jnp.where(jnp.repeat(flags, tile)[:, None], fb_acc,
+                           acc[rows])
+        return acc.at[rows].set(chosen, mode="drop")
+
+    acc = jax.lax.while_loop(
+        lambda gv: gv[0] < n_groups,
+        lambda gv: (gv[0] + 1, fb_group(gv[0], gv[1])),
+        (jnp.zeros((), n_over.dtype), acc),
+    )[1]
     acc = acc[:out_rows]
 
-    n_over = jnp.sum(tile_over)
-    residual = jnp.maximum(n_over - K_FB, 0)
     info = {
         "max_nodes": jnp.max(ncnt),
         "max_leaves": jnp.max(lcnt),
         "fallback_tiles": n_over,
-        "node_overflow": residual,
-        "leaf_overflow": residual,
+        # the bounded loop covers every overflowed tile: truncation is
+        # structurally impossible (fields kept for the runner's guard)
+        "node_overflow": jnp.zeros((), jnp.int32),
+        "leaf_overflow": jnp.zeros((), jnp.int32),
     }
     return Gv * acc, info

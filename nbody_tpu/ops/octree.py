@@ -255,7 +255,10 @@ def compute_force(levels: OctreeLevels, ms: jnp.ndarray, xs: jnp.ndarray,
             xj_b = xs[b]
             d_b = xj_b - xi
             dx_b = jnp.sqrt(jnp.sum(d_b * d_b)) + epsv
-            w_b = ms[b] / (dx_b * dx_b * dx_b)
+            # guard: TPU-emulated f64 has f32 exponent range, so eps^3
+            # UNDERFLOWS to 0 for self-pairs (sqrt(0)+eps)^3 -> m/0*0 = NaN
+            den_b = dx_b * dx_b * dx_b
+            w_b = jnp.where(den_b > 0, ms[b] / den_b, jnp.zeros((), dtype))
             draining = ds_rem > 0
 
             # ---- VISIT: evaluate current node
@@ -274,7 +277,8 @@ def compute_force(levels: OctreeLevels, ms: jnp.ndarray, xs: jnp.ndarray,
             at_max = lvl >= depth
             direct = (~accept) & at_max
             descend = (~accept) & (~at_max)
-            w = mj / (dx * dx * dx)
+            den = dx * dx * dx
+            w = jnp.where(den > 0, mj / den, jnp.zeros((), dtype))
             visiting = (~draining) & (mode == VISIT)
 
             # ---- ADVANCE: next sibling or ascend

@@ -271,7 +271,9 @@ def compute_force_grouped(
         xj = jnp.where(cnt1[..., None], xs[bfirst], com_arr[nidx])
         d = xj[:, None, :, :] - xt_c[:, :, None, :]
         dx = jnp.sqrt(jnp.sum(d * d, axis=-1)) + epsv
-        wt = mj[:, None, :] / (dx * dx * dx)
+        # den > 0 guard: eps^3 underflows the TPU's f32-range emulated f64
+        den = dx * dx * dx
+        wt = jnp.where(den > 0, mj[:, None, :] / den, jnp.zeros((), dtype))
         acc = jnp.einsum("cbl,cbld->cbd", wt, d)
 
         lmask = lane_l[None, :] < lcnt_c[:, None]
@@ -280,7 +282,8 @@ def compute_force_grouped(
         xjb = xs[bc]
         db = xjb[:, None, :, :] - xt_c[:, :, None, :]
         dbx = jnp.sqrt(jnp.sum(db * db, axis=-1)) + epsv
-        wb = mjb[:, None, :] / (dbx * dbx * dbx)
+        denb = dbx * dbx * dbx
+        wb = jnp.where(denb > 0, mjb[:, None, :] / denb, jnp.zeros((), dtype))
         acc = acc + jnp.einsum("cbl,cbld->cbd", wb, db)
         return acc
 
@@ -296,38 +299,54 @@ def compute_force_grouped(
     acc = jax.lax.map(eval_chunk, args)
     acc = acc.reshape(pad_tiles * tile, dim)[:npad]
 
-    # ---- exact fallback for overflowed tiles (octree softening)
-    K_FB = min(8, ntiles)
+    # ---- exact fallback for overflowed tiles (octree softening): every
+    # overflowed tile is re-evaluated exactly in groups of K_GRP via a
+    # bounded while_loop (see bvh_group) -- truncation is impossible
+    K_GRP = min(8, ntiles)
     scores = jnp.where(tile_over, ncount + lcount, -1)
-    _, fb_tiles = jax.lax.top_k(scores, K_FB)
-    fb_flag = tile_over[fb_tiles]
-    xi_fb = xt[fb_tiles].reshape(K_FB * tile, dim)
+    _, order = jax.lax.top_k(scores, ntiles)
+    n_over = jnp.sum(tile_over)
+    n_groups = (n_over + K_GRP - 1) // K_GRP
 
     jchunk = 4096
     njpad = -(-n // jchunk) * jchunk
     xj_all = jnp.pad(xs, ((0, njpad - n), (0, 0))).reshape(-1, jchunk, dim)
     mj_all = jnp.pad(ms, (0, njpad - n)).reshape(-1, jchunk)
 
-    def fb_body(carry, blk):
-        mj, xj = blk
-        d = xj[None, :, :] - xi_fb[:, None, :]
-        dxv = jnp.sqrt(jnp.sum(d * d, axis=-1)) + epsv
-        wt = mj[None, :] / (dxv * dxv * dxv)
-        return carry + jnp.einsum("kl,kld->kd", wt, d), None
+    def fb_group(g, acc):
+        tiles = jax.lax.dynamic_slice(order, (g * K_GRP,), (K_GRP,))
+        flags = tile_over[tiles]
+        xi_fb = xt[tiles].reshape(K_GRP * tile, dim)
 
-    fb_acc, _ = jax.lax.scan(
-        fb_body, jnp.zeros((K_FB * tile, dim), dtype), (mj_all, xj_all)
-    )
-    rows = (fb_tiles[:, None] * tile + jnp.arange(tile)[None, :]).reshape(-1)
-    chosen = jnp.where(jnp.repeat(fb_flag, tile)[:, None], fb_acc, acc[rows])
-    acc = acc.at[rows].set(chosen, mode="drop")[:out_rows]
+        def fb_body(carry, blk):
+            mj, xj = blk
+            d = xj[None, :, :] - xi_fb[:, None, :]
+            dxv = jnp.sqrt(jnp.sum(d * d, axis=-1)) + epsv
+            denv = dxv * dxv * dxv
+            wt = jnp.where(denv > 0, mj[None, :] / denv,
+                           jnp.zeros((), dtype))
+            return carry + jnp.einsum("kl,kld->kd", wt, d), None
 
-    n_over = jnp.sum(tile_over)
+        fb_acc, _ = jax.lax.scan(
+            fb_body, jnp.zeros((K_GRP * tile, dim), dtype), (mj_all, xj_all)
+        )
+        rows = (tiles[:, None] * tile + jnp.arange(tile)[None, :]).reshape(-1)
+        chosen = jnp.where(jnp.repeat(flags, tile)[:, None], fb_acc,
+                           acc[rows])
+        return acc.at[rows].set(chosen, mode="drop")
+
+    acc = jax.lax.while_loop(
+        lambda gv: gv[0] < n_groups,
+        lambda gv: (gv[0] + 1, fb_group(gv[0], gv[1])),
+        (jnp.zeros((), n_over.dtype), acc),
+    )[1]
+    acc = acc[:out_rows]
+
     info = {
         "max_nodes": jnp.max(ncnt),
         "max_leaves": jnp.max(lcnt),
         "fallback_tiles": n_over,
-        "node_overflow": jnp.maximum(n_over - K_FB, 0),
-        "leaf_overflow": jnp.maximum(n_over - K_FB, 0),
+        "node_overflow": jnp.zeros((), jnp.int32),
+        "leaf_overflow": jnp.zeros((), jnp.int32),
     }
     return Gv * acc, info

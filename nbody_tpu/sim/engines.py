@@ -75,10 +75,16 @@ class AllPairsEngine:
         pass
 
     def _accel_fn(self, cfg: SimConfig, opts: EngineOptions):
+        import numpy as np
+
         from nbody_tpu.ops.pallas_allpairs import allpairs_accel_pallas, pallas_available
 
-        use_pallas = opts.kernel == "pallas" or (
-            opts.kernel == "auto" and pallas_available()
+        # the Pallas kernel is fp32-only (the TPU has no native f64 and
+        # pl.reciprocal rejects it); double runs always take the jnp path
+        is_f32 = np.dtype(cfg.dtype) == np.float32
+        use_pallas = is_f32 and (
+            opts.kernel == "pallas"
+            or (opts.kernel == "auto" and pallas_available())
         )
         if opts.mesh > 1:
             from nbody_tpu.parallel.ring import make_ring_allpairs

@@ -108,15 +108,42 @@ def main(argv=None) -> int:
     ap.add_argument("--dims", default="2,3")
     ap.add_argument("--kernels", default="newton,exact,fast")
     ap.add_argument("--repeats", type=int, default=3)
+    ap.add_argument("--one", action="store_true",
+                    help="measure in-process (single kernel x dim)")
     args = ap.parse_args(argv)
-    for kernel in args.kernels.split(","):
-        for dim in (int(d) for d in args.dims.split(",")):
+    configs = [(k, int(d)) for k in args.kernels.split(",")
+               for d in args.dims.split(",")]
+    if args.one:
+        for kernel, dim in configs:
+            print(json.dumps(measure(kernel, args.n, dim, args.repeats)),
+                  flush=True)
+        return 0
+    # each config in a fresh interpreter: a TPU-worker crash (they happen)
+    # poisons the jax backend for the rest of the process, so isolate
+    import subprocess
+
+    for kernel, dim in configs:
+        cmd = [sys.executable, __file__, "--one", "--n", str(args.n),
+               "--dims", str(dim), "--kernels", kernel,
+               "--repeats", str(args.repeats)]
+        err = "no output"
+        for attempt in range(3):
             try:
-                print(json.dumps(measure(kernel, args.n, dim, args.repeats)),
-                      flush=True)
-            except Exception as e:  # keep sweeping past compiler crashes
-                print(json.dumps({"kernel": kernel, "dim": dim,
-                                  "err": str(e)[:160]}), flush=True)
+                proc = subprocess.run(cmd, capture_output=True, text=True,
+                                      timeout=1800)
+                line = [ln for ln in proc.stdout.splitlines()
+                        if ln.startswith("{")]
+                if proc.returncode == 0 and line:
+                    print(line[-1], flush=True)
+                    break
+                err = (proc.stderr or "no output")[-160:]
+            except subprocess.TimeoutExpired:
+                err = "timeout"
+            # worker crashes take a while to recover from -- back off
+            time.sleep(60 * (attempt + 1))
+        else:
+            print(json.dumps({"kernel": kernel, "dim": dim, "err": err}),
+                  flush=True)
     return 0
 
 

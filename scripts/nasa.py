@@ -112,10 +112,35 @@ def main(argv=None) -> int:
             os.chdir(cwd)
         outputs[algo] = os.path.join(outdir, "positions.bin")
 
+    # cross-IMPLEMENTATION check: build and run the reference binary
+    # (g++ -DSEQUENTIAL) on the same .bin -- the true ci/thuering
+    # methodology, no network required
+    ref_positions = None
+    try:
+        sys.path.insert(0, os.path.join(REPO, "tests"))
+        import ref_oracle
+
+        if ref_oracle.reference_available():
+            refdir = os.path.join(a.workdir, "reference")
+            os.makedirs(refdir, exist_ok=True)
+            print("# running the reference binary (sequential oracle) ...")
+            ref_oracle.run_reference(3, [
+                "-s", str(a.steps), "--precision", "double",
+                "--algorithm", "octree", "--theta", "0.6",
+                "--workload", "load", os.path.abspath(bin_path),
+                "--csv-detailed", "--save", "pos",
+            ], cwd=refdir)
+            ref_positions = os.path.join(refdir, "positions.bin")
+    except Exception as e:  # reference toolchain optional
+        print(f"# reference oracle unavailable: {e}", file=sys.stderr)
+
     import check_state
 
     print("# octree vs all-pairs final positions:")
     check_state.main([outputs["octree"], outputs["all-pairs"]])
+    if ref_positions:
+        print("# octree vs REFERENCE BINARY final positions:")
+        check_state.main([outputs["octree"], ref_positions])
     if a.external:
         print("# octree vs external simulator:")
         check_state.main([outputs["octree"], a.external])

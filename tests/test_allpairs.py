@@ -110,3 +110,35 @@ def test_double_precision(f64_eps):
     assert a.dtype == np.float64
     scale = np.max(np.abs(a_ref)) + 1e-30
     assert np.max(np.abs(a - a_ref)) / scale < 1e-13
+
+
+def test_engine_double_never_selects_pallas():
+    """--kernel pallas with --precision double must fall back to the jnp
+    path: the Pallas kernel is fp32-only (pl.reciprocal rejects f64) --
+    round 2 found the TPU NASA pipeline crashing here."""
+    from nbody_tpu.models import build_uniform_model
+    from nbody_tpu.sim.engines import AllPairsEngine, EngineOptions
+
+    cfg, state = build_uniform_model(32, 2, np.float64)
+    step = AllPairsEngine().make_step(cfg, EngineOptions(kernel="pallas"))
+    out, aux = step(state, 0)
+    assert np.asarray(out.x).dtype == np.float64
+    assert np.all(np.isfinite(np.asarray(out.x)))
+
+
+def test_pallas_fast_mode_matches_dense(f32_eps):
+    """fast=True (adaptive rsqrt^3 far tiles) stays within 1e-5 of the
+    dense oracle."""
+    from nbody_tpu.ops.pallas_allpairs import allpairs_accel_pallas
+
+    m, x = _random_system(1500, 2)
+    a_ref = np.asarray(
+        allpairs_accel_dense(jnp.asarray(m), jnp.asarray(x), 1.0, f32_eps)
+    )
+    a = np.asarray(
+        allpairs_accel_pallas(jnp.asarray(m), jnp.asarray(x), 1.0, f32_eps,
+                              tile_i=256, tile_j=512, interpret=True,
+                              fast=True)
+    )
+    scale = np.abs(a_ref).max() + 1e-30
+    assert np.abs(a - a_ref).max() / scale < 1e-5

@@ -205,6 +205,7 @@ def test_group_theta0_equals_allpairs(f32_eps):
     assert float(jnp.max(jnp.abs(out.a - a_ref))) / scale < 1e-5
 
 
+@pytest.mark.slow
 @pytest.mark.parametrize("dim", [2, 3])
 def test_group_at_least_as_accurate_as_perbody(dim, f32_eps):
     """The group MAC acceptance set is a subset of the per-body one, so
@@ -222,6 +223,7 @@ def test_group_at_least_as_accurate_as_perbody(dim, f32_eps):
     assert err_g / den < 0.02
 
 
+@pytest.mark.slow
 def test_group_no_overflow_on_galaxy(f32_eps):
     """Interaction lists stay well under the static caps on the standard
     galaxy workload at theta=0.5."""
@@ -246,6 +248,40 @@ def test_group_no_overflow_on_galaxy(f32_eps):
     assert np.all(np.isfinite(np.asarray(a)))
 
 
+@pytest.mark.parametrize("workload,dim,n", [
+    ("uniform", 2, 4096), ("uniform", 3, 6000), ("uniform", 2, 10000),
+    ("plummer", 3, 4096), ("plummer", 3, 9000),
+])
+def test_group_no_overflow_workload_sweep(workload, dim, n, f32_eps):
+    """Overflow guards beyond the pinned galaxy configs: uniform and
+    plummer across n, both tree engines (VERDICT round-1 item 6 -- these
+    workloads were previously unprotected)."""
+    from nbody_tpu.models import build_plummer_model, build_uniform_model
+    from nbody_tpu.ops.bvh import build_tree
+    from nbody_tpu.ops.bvh_group import compute_force_grouped
+    from nbody_tpu.ops.geometry import aabb_of_points, scalar_bounds
+    from nbody_tpu.ops.hilbert import hilbert_sort_perm
+    from nbody_tpu.ops.octree import build_octree, max_depth
+    from nbody_tpu.ops.octree_group import (
+        compute_force_grouped as octree_grouped,
+    )
+
+    build = build_uniform_model if workload == "uniform" else build_plummer_model
+    cfg, s = build(n, dim, np.float32)
+
+    xmin, xmax = aabb_of_points(s.x, f32_eps)
+    perm = hilbert_sort_perm(s.x, xmin, xmax)
+    m, x = s.m[perm], s.x[perm]
+    tree = build_tree(m, x, f32_eps)
+    _, info = compute_force_grouped(tree, m, x, 0.5, cfg.G, f32_eps)
+    assert int(info["node_overflow"]) == 0, workload
+
+    lo, hi = scalar_bounds(s.x)
+    levels, _, ms, xs = build_octree(s.m, s.x, lo, hi, max_depth(n, dim))
+    _, oinfo = octree_grouped(levels, ms, xs, hi - lo, 0.5, cfg.G, f32_eps)
+    assert int(oinfo["node_overflow"]) == 0, workload
+
+
 def test_octree_group_theta0_equals_direct_sum(f32_eps):
     m, x = _system(150, 2, clustered=True, seed=3)
     st = _state(m, x)
@@ -256,6 +292,7 @@ def test_octree_group_theta0_equals_direct_sum(f32_eps):
     assert float(jnp.max(jnp.abs(out.a - a_ref))) / scale < 1e-4
 
 
+@pytest.mark.slow
 @pytest.mark.parametrize("dim", [2, 3])
 def test_octree_group_at_least_as_accurate(dim, f32_eps):
     m, x = _system(600, dim, clustered=True, seed=4)
@@ -271,6 +308,7 @@ def test_octree_group_at_least_as_accurate(dim, f32_eps):
     assert err_g / den < 0.02
 
 
+@pytest.mark.slow
 def test_octree_group_galaxy_no_residual_overflow(f32_eps):
     from nbody_tpu.models import build_galaxy_model
     from nbody_tpu.ops.octree import build_octree
