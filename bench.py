@@ -72,7 +72,11 @@ def measure_dim(dim: int) -> dict:
 
         return jax.lax.scan(body, x, None, length=iters)[0]
 
-    dt = scan_seconds_per_step(loop, (m, x), repeats=REPEATS)
+    # short/long scan lengths sized so one dispatch stays under the axon
+    # tunnel's per-call device-time budget (~45-70 s kills the worker;
+    # measured: 10-iter scans at N=2^20 crash it, 6-iter at ~43 s pass)
+    dt = scan_seconds_per_step(loop, (m, x), iters_short=1, iters_long=4,
+                               repeats=REPEATS)
     rate = N * (N - 1) / dt
     return {
         "int_per_s": rate,

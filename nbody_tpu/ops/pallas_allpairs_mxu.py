@@ -142,13 +142,16 @@ def _mxu_kernel(dim, eps, tile_i, tile_j, near_factor, fast, far_thresh,
 
     @pl.when(is_near)
     def _():
-        # fully exact per-dimension path: close pairs have Sterbenz-exact
-        # dx, and the direct accumulation never splits large near-terms
-        # across cancelling sums
+        # fully exact per-dimension path on the RAW coordinates: for close
+        # pairs xj - xi is Sterbenz-exact, and the direct accumulation
+        # never splits large near-terms across cancelling sums.  (The
+        # centered yi/yjt must NOT be used here: rounding xi - c costs
+        # ~ulp(|y|) per coordinate, which swamps a tiny dx -- measured
+        # 1.6e-2 force errors on far-from-origin clusters.)
         dx = []
         d2e = None
         for d in range(dim):
-            xd = yjt[d, :][None, :] - yi[:, d][:, None]
+            xd = xjt_ref[d, :][None, :] - xi_ref[:, d][:, None]
             dx.append(xd)
             d2e = xd * xd if d2e is None else d2e + xd * xd
         w = compute_w(d2e) * mj[None, :]

@@ -112,7 +112,7 @@ def test_energy_conservation_galaxy_bvh():
     ke0, pe0 = calc_energies(s.m, s.x, s.v, cfg.G, cfg.eps)
     e0 = float(ke0) + float(pe0)
     for k in range(30):
-        s = step(s, k)
+        s, _ = step(s, k)
     ke1, pe1 = calc_energies(s.m, s.x, s.v, cfg.G, cfg.eps)
     e1 = float(ke1) + float(pe1)
     assert abs(e1 - e0) / abs(e0) < 5e-3, (e0, e1)
