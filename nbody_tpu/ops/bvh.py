@@ -211,10 +211,10 @@ def compute_force(tree: BVHTree, m: jnp.ndarray, x: jnp.ndarray,
 
 
 @partial(jax.jit, static_argnames=("theta", "G", "eps", "resort", "traversal",
-                                   "group_tile"))
+                                   "group_tile", "use_pallas"))
 def bvh_step_force(state: SystemState, theta: float, G: float, eps: float,
                    resort: bool = True, traversal: str = "group",
-                   group_tile: int = 512):
+                   group_tile: int = 512, use_pallas: bool = False):
     """One BVH force evaluation: bbox -> hilbert sort -> refit -> traversal
     (the kernel sequence of run_bvh, bvh.h:382-397). Returns the PERMUTED
     state with `a` filled -- like the reference, the sort physically reorders
@@ -246,7 +246,8 @@ def bvh_step_force(state: SystemState, theta: float, G: float, eps: float,
         from nbody_tpu.ops.bvh_group import compute_force_grouped
 
         a, info = compute_force_grouped(tree, state.m, state.x, theta, G, eps,
-                                        tile=group_tile)
+                                        tile=group_tile,
+                                        use_pallas=use_pallas)
         overflow = info["node_overflow"].astype(jnp.int32)
     else:
         a = compute_force(tree, state.m, state.x, theta, G, eps)

@@ -56,7 +56,7 @@ def default_caps(n: int, theta: float) -> tuple[int, int]:
 @partial(
     jax.jit,
     static_argnames=("theta", "G", "eps", "tile", "cap_nodes", "cap_leaves",
-                     "chunk", "nrows"),
+                     "chunk", "nrows", "use_pallas"),
 )
 def compute_force_grouped(
     tree: BVHTree,
@@ -71,6 +71,7 @@ def compute_force_grouped(
     chunk: int = 8,
     row_start=None,
     nrows: int | None = None,
+    use_pallas: bool = False,
 ):
     """Returns (accel in sorted body order, info dict).
 
@@ -80,7 +81,11 @@ def compute_force_grouped(
     against the FULL tree and body arrays, which are replicated -- and
     the returned accel has nrows rows.  row_start may be traced (it is an
     axis_index inside shard_map); nrows must be static and divisible by
-    `tile`, and the caller pads x so the range exists."""
+    `tile`, and the caller pads x so the range exists.
+
+    use_pallas: False = chunked jnp/einsum evaluation (f64/CPU);
+    True = batched VMEM-tiled Pallas kernel (fp32 TPU, ~HBM-traffic-free);
+    "interpret" = Pallas kernel in interpret mode (CPU tests)."""
     n, dim = x.shape
     dtype = x.dtype
     if cap_nodes is None or cap_leaves is None:
@@ -239,9 +244,41 @@ def compute_force_grouped(
     nodes = jnp.where(nvalid, nodes, 0)
     leaves = jnp.where(lvalid, leaves, 0)
 
-    # ---- dense evaluation, chunked over tiles to bound memory
+    # ---- dense evaluation ---------------------------------------------
+    # Pallas path (fp32 TPU): gather the per-tile lists into dense
+    # (ntiles, L) mass / (ntiles, dim, L) position arrays -- monopoles
+    # and leaf bodies share the same per-pair math, so they concatenate
+    # into ONE list -- and run the batched VMEM-tiled kernel.  jnp path
+    # (f64 / CPU): chunked einsum evaluation.
     lane = jnp.arange(cap_nodes)
     lane_l = jnp.arange(cap_leaves)
+
+    if use_pallas:
+        from nbody_tpu.ops.pallas_group_eval import group_eval_pallas
+
+        nmask = lane[None, :] < ncnt[:, None]               # (T, Ln)
+        nidx = jnp.where(nmask, nodes, 0)
+        mj_n = jnp.where(nmask, mm[nidx], jnp.zeros((), dtype))
+        xj_n = mx[nidx]                                     # (T, Ln, dim)
+        lmask = lane_l[None, :] < lcnt[:, None]             # (T, Ll)
+        s0 = jnp.where(lmask, leaves, 0)
+        bidx = jnp.stack([s0, s0 + 1], axis=-1).reshape(ntiles, -1)
+        bvalid = lmask[:, :, None].repeat(2, axis=2).reshape(ntiles, -1)
+        bvalid = bvalid & (bidx < n)
+        bc = jnp.clip(bidx, 0, n - 1)
+        mj_b = jnp.where(bvalid, m[bc], jnp.zeros((), dtype))
+        xj_b = x[bc]                                        # (T, 2Ll, dim)
+        mj_list = jnp.concatenate([mj_n, mj_b], axis=1)
+        xj_list = jnp.concatenate([xj_n, xj_b], axis=1)     # (T, L, dim)
+        acc = group_eval_pallas(
+            xt.reshape(npad, dim), mj_list,
+            jnp.swapaxes(xj_list, 1, 2), float(eps),
+            interpret=(use_pallas == "interpret"),
+        )[:npad]
+        return _finish_grouped(
+            acc, xt, tile_over, ncount, lcount, ncnt, lcnt, m, x, n,
+            ntiles, tile, npad, out_rows, dtype, epsv, Gv,
+        )
 
     def eval_chunk(args):
         xt_c, nodes_c, ncnt_c, leaves_c, lcnt_c = args
@@ -280,7 +317,17 @@ def compute_force_grouped(
     )
     acc = jax.lax.map(eval_chunk, args)                     # (PC, C, TB, dim)
     acc = acc.reshape(pad_tiles * tile, dim)[:npad]
+    return _finish_grouped(
+        acc, xt, tile_over, ncount, lcount, ncnt, lcnt, m, x, n,
+        ntiles, tile, npad, out_rows, dtype, epsv, Gv,
+    )
 
+
+def _finish_grouped(acc, xt, tile_over, ncount, lcount, ncnt, lcnt, m, x, n,
+                    ntiles, tile, npad, out_rows, dtype, epsv, Gv):
+    """Exact-fallback pass over overflowed tiles + the info dict (shared
+    by the jnp and Pallas evaluation paths)."""
+    dim = x.shape[1]
     # ---- exact fallback for overflowed tiles --------------------------
     # A tile spanning a Hilbert-curve discontinuity (the jump between the
     # two galaxies) or sitting in an extreme density contrast (a Plummer

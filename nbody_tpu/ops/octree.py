@@ -332,11 +332,11 @@ def compute_force(levels: OctreeLevels, ms: jnp.ndarray, xs: jnp.ndarray,
     return jax.vmap(traverse_one)(xs)
 
 
-@partial(jax.jit, static_argnames=("theta", "G", "eps", "depth", "traversal",
+@partial(jax.jit, static_argnames=("theta", "G", "eps", "depth", "traversal", "use_pallas",
                                    "group_tile"))
 def octree_step_force(state: SystemState, theta: float, G: float, eps: float,
                       depth: int, traversal: str = "group",
-                      group_tile: int = 512):
+                      group_tile: int = 512, use_pallas: bool = False):
     """One octree force evaluation: bounds -> morton sort -> segmented build
     -> MAC traversal -> scatter back to original body order (the kernel
     sequence of run_octree, octree.h:321-328, minus clear/insert which do
@@ -349,7 +349,8 @@ def octree_step_force(state: SystemState, theta: float, G: float, eps: float,
         from nbody_tpu.ops.octree_group import compute_force_grouped
 
         a_sorted, info = compute_force_grouped(
-            levels, ms, xs, hi - lo, theta, G, eps, tile=group_tile
+            levels, ms, xs, hi - lo, theta, G, eps, tile=group_tile,
+            use_pallas=use_pallas,
         )
         overflow = info["node_overflow"].astype(jnp.int32)
     else:

@@ -50,7 +50,7 @@ def default_caps(n: int, theta: float, dim: int) -> tuple[int, int]:
 @partial(
     jax.jit,
     static_argnames=("theta", "G", "eps", "tile", "cap_nodes", "cap_leaves",
-                     "chunk", "nrows"),
+                     "chunk", "nrows", "use_pallas"),
 )
 def compute_force_grouped(
     levels: OctreeLevels,
@@ -66,6 +66,7 @@ def compute_force_grouped(
     chunk: int = 8,
     row_start=None,
     nrows: int | None = None,
+    use_pallas: bool = False,
 ):
     """Returns (accel in Morton-sorted body order, info dict).
 
@@ -256,11 +257,38 @@ def compute_force_grouped(
     nodes = jnp.where(nvalid, nodes, 0)
     leaves = jnp.where(lvalid, leaves, 0)
 
-    # ---- dense evaluation (octree softening), chunked over tiles -------
+    # ---- dense evaluation (octree softening) ---------------------------
+    # Pallas path (fp32 TPU): gather combined per-tile lists (monopoles,
+    # with single-body cells demoted to that body exactly like the jnp
+    # path, + opened leaf bodies) and run the batched VMEM kernel with
+    # the octree softening chain.  jnp path: chunked einsum.
     lane = jnp.arange(cap_nodes)
     lane_l = jnp.arange(cap_leaves)
 
-    def eval_chunk(args):
+    if use_pallas:
+        from nbody_tpu.ops.pallas_group_eval import group_eval_pallas
+
+        nmask = lane[None, :] < ncnt[:, None]
+        nidx = jnp.clip(jnp.where(nmask, nodes, 0), 0, mass.shape[0] - 1)
+        cnt1 = count[nidx] == 1
+        bfirst = jnp.clip(start[nidx], 0, n - 1)
+        mj_n = jnp.where(cnt1, ms[bfirst], mass[nidx])
+        mj_n = jnp.where(nmask, mj_n, jnp.zeros((), dtype))
+        xj_n = jnp.where(cnt1[..., None], xs[bfirst], com_arr[nidx])
+        lmask = lane_l[None, :] < lcnt[:, None]
+        bc = jnp.clip(jnp.where(lmask, leaves, 0), 0, n - 1)
+        mj_b = jnp.where(lmask, ms[bc], jnp.zeros((), dtype))
+        xj_b = xs[bc]
+        mj_list = jnp.concatenate([mj_n, mj_b], axis=1)
+        xj_list = jnp.concatenate([xj_n, xj_b], axis=1)
+        acc = group_eval_pallas(
+            xt.reshape(npad, dim), mj_list,
+            jnp.swapaxes(xj_list, 1, 2), float(eps),
+            softening="sqrt3",
+            interpret=(use_pallas == "interpret"),
+        )[:npad]
+
+    def eval_chunk(args):  # jnp path
         xt_c, nodes_c, ncnt_c, leaves_c, lcnt_c = args
         nmask = lane[None, :] < ncnt_c[:, None]
         nidx = jnp.clip(jnp.where(nmask, nodes_c, 0), 0, mass.shape[0] - 1)
@@ -287,17 +315,21 @@ def compute_force_grouped(
         acc = acc + jnp.einsum("cbl,cbld->cbd", wb, db)
         return acc
 
-    pad_tiles = -(-ntiles // chunk) * chunk
+    if not use_pallas:
+        pad_tiles = -(-ntiles // chunk) * chunk
 
-    def padt(a):
-        return jnp.pad(a, ((0, pad_tiles - ntiles),) + ((0, 0),) * (a.ndim - 1))
+        def padt(a):
+            return jnp.pad(
+                a, ((0, pad_tiles - ntiles),) + ((0, 0),) * (a.ndim - 1)
+            )
 
-    args = (padt(xt), padt(nodes), padt(ncnt), padt(leaves), padt(lcnt))
-    args = jax.tree_util.tree_map(
-        lambda a: a.reshape((pad_tiles // chunk, chunk) + a.shape[1:]), args
-    )
-    acc = jax.lax.map(eval_chunk, args)
-    acc = acc.reshape(pad_tiles * tile, dim)[:npad]
+        args = (padt(xt), padt(nodes), padt(ncnt), padt(leaves), padt(lcnt))
+        args = jax.tree_util.tree_map(
+            lambda a: a.reshape((pad_tiles // chunk, chunk) + a.shape[1:]),
+            args,
+        )
+        acc = jax.lax.map(eval_chunk, args)
+        acc = acc.reshape(pad_tiles * tile, dim)[:npad]
 
     # ---- exact fallback for overflowed tiles (octree softening): every
     # overflowed tile is re-evaluated exactly in groups of K_GRP via a

@@ -57,7 +57,8 @@ def _pad_bodies(m, x, npad: int):
 
 
 def make_sharded_bvh_force(cfg: SimConfig, n_shards: int,
-                           mesh: Mesh | None = None, tile: int = 512):
+                           mesh: Mesh | None = None, tile: int = 512,
+                           use_pallas: bool = False):
     """accel(m, x) over Hilbert-SORTED body arrays: replicated build,
     row-sharded group evaluation.  The caller sorts (the sort is a global
     op; at multi-chip scale it runs replicated here)."""
@@ -79,7 +80,7 @@ def make_sharded_bvh_force(cfg: SimConfig, n_shards: int,
             idx = jax.lax.axis_index(BODY_AXIS)
             a_loc, _ = compute_force_grouped(
                 tree, m_all, x_all, theta, G, eps, tile=tile,
-                row_start=idx * nrows, nrows=nrows,
+                row_start=idx * nrows, nrows=nrows, use_pallas=use_pallas,
             )
             return jax.lax.all_gather(a_loc, BODY_AXIS, tiled=True)
 
@@ -106,6 +107,8 @@ def make_sharded_bvh_step(cfg: SimConfig, opts):
     tile = opts.group_tile
     mesh = body_mesh(n_shards)
     theta, G, eps = float(cfg.theta), float(cfg.G), cfg.eps
+    from nbody_tpu.sim.tree_engines import _use_pallas_eval
+    upal = _use_pallas_eval(cfg, opts)
 
     def shard_fn(m_all, x_all):
         tree = build_tree(m_all, x_all, eps)
@@ -113,7 +116,7 @@ def make_sharded_bvh_step(cfg: SimConfig, opts):
         nrows = x_all.shape[0] // n_shards
         a_loc, info = compute_force_grouped(
             tree, m_all, x_all, theta, G, eps, tile=tile,
-            row_start=idx * nrows, nrows=nrows,
+            row_start=idx * nrows, nrows=nrows, use_pallas=upal,
         )
         a_all = jax.lax.all_gather(a_loc, BODY_AXIS, tiled=True)
         over = jax.lax.psum(info["node_overflow"].astype(jnp.int32),
@@ -164,6 +167,8 @@ def make_sharded_octree_step(cfg: SimConfig, opts):
     mesh = body_mesh(n_shards)
     theta, G, eps = float(cfg.theta), float(cfg.G), cfg.eps
     depth = max_depth(cfg.n, cfg.dim)
+    from nbody_tpu.sim.tree_engines import _use_pallas_eval
+    upal = _use_pallas_eval(cfg, opts)
 
     def shard_fn(ms_all, xs_all, side):
         # the tree is rebuilt per shard from the ALREADY-SORTED bodies
@@ -176,7 +181,7 @@ def make_sharded_octree_step(cfg: SimConfig, opts):
         )
         a_loc, info = compute_force_grouped(
             levels, ms2, xs2, side[1] - side[0], theta, G, eps, tile=tile,
-            row_start=idx * nrows, nrows=nrows,
+            row_start=idx * nrows, nrows=nrows, use_pallas=upal,
         )
         a_all = jax.lax.all_gather(a_loc, BODY_AXIS, tiled=True)
         over = jax.lax.psum(info["node_overflow"].astype(jnp.int32),

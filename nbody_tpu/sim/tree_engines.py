@@ -22,6 +22,19 @@ from nbody_tpu.ops.integrator import leapfrog_step
 from nbody_tpu.sim.engines import EngineOptions, _timed
 
 
+def _use_pallas_eval(cfg: SimConfig, opts: EngineOptions) -> bool:
+    """Group-eval backend choice: the batched Pallas kernel is fp32-only
+    (same constraint as the all-pairs kernel); auto picks it on TPU."""
+    import numpy as np
+
+    from nbody_tpu.ops.pallas_allpairs import pallas_available
+
+    return np.dtype(cfg.dtype) == np.float32 and (
+        opts.kernel == "pallas"
+        or (opts.kernel == "auto" and pallas_available())
+    )
+
+
 class BVHEngine:
     """Hilbert-sorted implicit BVH (ref: src/bvh.h)."""
 
@@ -36,6 +49,7 @@ class BVHEngine:
         sort_every = max(1, opts.sort_every)
         trav = opts.traversal
         gtile = opts.group_tile
+        upal = _use_pallas_eval(cfg, opts)
 
         if opts.mesh > 1:
             return self._make_step_sharded(cfg, opts)
@@ -45,7 +59,8 @@ class BVHEngine:
             def step(state: SystemState, k):
                 state, _, aux = bvh_step_force(state, theta, G, eps,
                                                traversal=trav,
-                                               group_tile=gtile)
+                                               group_tile=gtile,
+                                               use_pallas=upal)
                 return leapfrog_step(state, cfg.dt), aux
 
             return step
@@ -60,9 +75,11 @@ class BVHEngine:
             state, _, aux = jax.lax.cond(
                 jnp.mod(k, sort_every) == 0,
                 lambda s: bvh_step_force(s, theta, G, eps, resort=True,
-                                         traversal=trav, group_tile=gtile),
+                                         traversal=trav, group_tile=gtile,
+                                         use_pallas=upal),
                 lambda s: bvh_step_force(s, theta, G, eps, resort=False,
-                                         traversal=trav, group_tile=gtile),
+                                         traversal=trav, group_tile=gtile,
+                                         use_pallas=upal),
                 state,
             )
             return leapfrog_step(state, cfg.dt), aux
@@ -101,9 +118,11 @@ class BVHEngine:
         if opts.traversal == "group":
             from nbody_tpu.ops.bvh_group import compute_force_grouped
 
+            upal = _use_pallas_eval(cfg, opts)
             force_fn = jax.jit(
                 lambda tree, m, x: compute_force_grouped(
-                    tree, m, x, theta, G, eps, tile=opts.group_tile
+                    tree, m, x, theta, G, eps, tile=opts.group_tile,
+                    use_pallas=upal,
                 )
             )
         else:
@@ -161,6 +180,7 @@ class OctreeEngine:
         depth = max_depth(cfg.n, cfg.dim)
         trav = opts.traversal
         gtile = opts.group_tile
+        upal = _use_pallas_eval(cfg, opts)
 
         if opts.mesh > 1:
             from nbody_tpu.parallel.tree_sharded import make_sharded_octree_step
@@ -170,7 +190,8 @@ class OctreeEngine:
         @jax.jit
         def step(state: SystemState, k):
             state, _, aux = octree_step_force(state, theta, G, eps, depth,
-                                              traversal=trav, group_tile=gtile)
+                                              traversal=trav, group_tile=gtile,
+                                              use_pallas=upal)
             return leapfrog_step(state, cfg.dt), aux
 
         return step
@@ -195,10 +216,11 @@ class OctreeEngine:
                 compute_force_grouped as octree_grouped,
             )
 
+            upal = _use_pallas_eval(cfg, opts)
             force_fn = jax.jit(
                 lambda levels, ms, xs, side: octree_grouped(
                     levels, ms, xs, side, theta, G, eps,
-                    tile=opts.group_tile
+                    tile=opts.group_tile, use_pallas=upal,
                 )
             )
         else:

@@ -323,3 +323,35 @@ def test_octree_group_galaxy_no_residual_overflow(f32_eps):
     assert int(info["node_overflow"]) == 0
     assert int(info["leaf_overflow"]) == 0
     assert np.all(np.isfinite(np.asarray(a)))
+
+
+def test_group_pallas_eval_matches_jnp(f32_eps):
+    """The batched Pallas dense evaluation (interpret mode) matches the
+    chunked jnp evaluation of the SAME interaction lists to fp32 rounding
+    (the kernel's Newton-refined reciprocal is <=1 ulp from division)."""
+    from nbody_tpu.ops.bvh import build_tree
+    from nbody_tpu.ops.bvh_group import compute_force_grouped
+
+    m, x = _system(700, 2, clustered=True, seed=12)
+    st = _state(m, x)
+    out_j, _, _ = bvh_step_force(st, 0.5, 1.0, f32_eps, traversal="group")
+    out_p, _, _ = bvh_step_force(st, 0.5, 1.0, f32_eps, traversal="group",
+                                 use_pallas="interpret")
+    scale = float(jnp.max(jnp.abs(out_j.a))) + 1e-30
+    assert float(jnp.max(jnp.abs(out_p.a - out_j.a))) / scale < 1e-5
+
+
+def test_octree_group_pallas_eval_matches_jnp(f32_eps):
+    """Octree batched Pallas evaluation (interpret) == jnp evaluation,
+    including the (sqrt(d2)+eps)^3 softening quirk and single-body-cell
+    demotion."""
+    from nbody_tpu.ops.octree import max_depth, octree_step_force
+
+    m, x = _system(700, 2, clustered=True, seed=13)
+    st = _state(m, x)
+    depth = max_depth(700, 2)
+    out_j, _, _ = octree_step_force(st, 0.5, 1.0, f32_eps, depth)
+    out_p, _, _ = octree_step_force(st, 0.5, 1.0, f32_eps, depth,
+                                    use_pallas="interpret")
+    scale = float(jnp.max(jnp.abs(out_j.a))) + 1e-30
+    assert float(jnp.max(jnp.abs(out_p.a - out_j.a))) / scale < 1e-5
