@@ -8,7 +8,8 @@ all: native
 native:
 	python native/build.py
 
-# default suite skips the slow per-body-traversal oracles (keep <5 min);
+# default suite skips slow per-body-traversal oracles + big overflow sweeps
+# (~7 min on this box);
 # test-full runs everything (CI-full mode)
 test:
 	python -m pytest tests/ -q -m "not slow"

@@ -63,7 +63,7 @@ def _group_eval_kernel(dim, eps, softening, xi_ref, xjt_ref, mj_ref, out_ref):
         t = s * s * s
     r = pl.reciprocal(t, approx=True)
     r = r * (jnp.asarray(2.0, xi.dtype) - t * r)   # Newton: <=1 ulp
-    w = mj_ref[0, :][None, :] * r
+    w = mj_ref[0, 0, :][None, :] * r
     for d in range(dim):
         out_ref[:, d] += jnp.sum(w * dx[d], axis=1)
 
@@ -93,13 +93,17 @@ def group_eval_pallas(
         xjt = jnp.pad(xjt, ((0, 0), (0, 0), (0, Lp - L)))
 
     kernel = functools.partial(_group_eval_kernel, dim, float(eps), softening)
+    # mj gets a singleton middle axis: a (1, tile_j) block over (ntiles, L)
+    # is illegal (last-two-dims rule: 1 is neither divisible by 8 nor the
+    # full 'ntiles'); as (ntiles, 1, L) the last two dims are (1, tile_j)
+    # with 1 == the full middle dim.
     out = pl.pallas_call(
         kernel,
         grid=(ntiles, Lp // tile_j),
         in_specs=[
             pl.BlockSpec((tb, dim), lambda t, c: (t, 0)),
             pl.BlockSpec((1, dim, tile_j), lambda t, c: (t, 0, c)),
-            pl.BlockSpec((1, tile_j), lambda t, c: (t, c)),
+            pl.BlockSpec((1, 1, tile_j), lambda t, c: (t, 0, c)),
         ],
         out_specs=pl.BlockSpec((tb, dim), lambda t, c: (t, 0)),
         out_shape=jax.ShapeDtypeStruct((ntiles * tb, dim), dtype),
@@ -109,5 +113,5 @@ def group_eval_pallas(
             transcendentals=int(ntiles * tb) * int(Lp),
         ),
         interpret=interpret,
-    )(xi, xjt, mj)
+    )(xi, xjt, mj[:, None, :])
     return out

@@ -42,6 +42,7 @@ def build_loop(kernel_name: str, m, x, eps):
     from functools import partial
 
     from nbody_tpu.ops.pallas_allpairs import allpairs_accel_pallas
+    from nbody_tpu.ops.pallas_allpairs_mxu import allpairs_accel_mxu
     from nbody_tpu.ops.allpairs import allpairs_accel
 
     def accel(mv, xv):
@@ -54,6 +55,11 @@ def build_loop(kernel_name: str, m, x, eps):
         if kernel_name == "fast":
             return allpairs_accel_pallas(mv, xv, 1.0, eps, exact=False,
                                          fast=True)
+        if kernel_name == "mxu":
+            return allpairs_accel_mxu(mv, xv, 1.0, eps)
+        if kernel_name == "mxu-fast":
+            return allpairs_accel_mxu(mv, xv, 1.0, eps, fast=True,
+                                      far_thresh=1e-2)
         raise ValueError(kernel_name)
 
     @partial(jax.jit, static_argnames=("iters",))

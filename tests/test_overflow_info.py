@@ -49,6 +49,7 @@ def test_grouped_correct_even_with_tiny_caps(f32_eps):
     assert np.abs(np.asarray(a_tiny) - np.asarray(a_ref)).max() / scale < 1e-2
 
 
+@pytest.mark.slow
 def test_plummer_core_no_truncation(f32_eps):
     """The Plummer core blows every list cap (density contrast makes the
     MAC open nearly everything -- the reference's per-body walk degenerates

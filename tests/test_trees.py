@@ -249,8 +249,11 @@ def test_group_no_overflow_on_galaxy(f32_eps):
 
 
 @pytest.mark.parametrize("workload,dim,n", [
-    ("uniform", 2, 4096), ("uniform", 3, 6000), ("uniform", 2, 10000),
-    ("plummer", 3, 4096), ("plummer", 3, 9000),
+    ("uniform", 2, 4096),
+    pytest.param("uniform", 3, 6000, marks=pytest.mark.slow),
+    pytest.param("uniform", 2, 10000, marks=pytest.mark.slow),
+    ("plummer", 3, 4096),
+    pytest.param("plummer", 3, 9000, marks=pytest.mark.slow),
 ])
 def test_group_no_overflow_workload_sweep(workload, dim, n, f32_eps):
     """Overflow guards beyond the pinned galaxy configs: uniform and
