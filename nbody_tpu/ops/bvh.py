@@ -243,11 +243,23 @@ def bvh_step_force(state: SystemState, theta: float, G: float, eps: float,
         )
     tree = build_tree(state.m, state.x, eps)
     if traversal == "group":
-        from nbody_tpu.ops.bvh_group import compute_force_grouped
+        from nbody_tpu.ops.bvh_group import (
+            compute_force_grouped,
+            compute_force_grouped_windowed,
+        )
 
-        a, info = compute_force_grouped(tree, state.m, state.x, theta, G, eps,
-                                        tile=group_tile,
-                                        use_pallas=use_pallas)
+        if use_pallas:
+            # gather-free masked/windowed evaluation -- the TPU fast path
+            # (list building's batched row gathers run ~56M elem/s on v5e
+            # and dominated the step; see compute_force_grouped_windowed)
+            a, info = compute_force_grouped_windowed(
+                tree, state.m, state.x, theta, G, eps, tile=group_tile,
+                interpret=(use_pallas == "interpret"),
+            )
+        else:
+            a, info = compute_force_grouped(
+                tree, state.m, state.x, theta, G, eps, tile=group_tile,
+            )
         overflow = info["node_overflow"].astype(jnp.int32)
     else:
         a = compute_force(tree, state.m, state.x, theta, G, eps)

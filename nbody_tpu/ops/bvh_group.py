@@ -324,9 +324,12 @@ def compute_force_grouped(
 
 
 def _finish_grouped(acc, xt, tile_over, ncount, lcount, ncnt, lcnt, m, x, n,
-                    ntiles, tile, npad, out_rows, dtype, epsv, Gv):
+                    ntiles, tile, npad, out_rows, dtype, epsv, Gv,
+                    pallas_fb=None, eps_f=None):
     """Exact-fallback pass over overflowed tiles + the info dict (shared
-    by the jnp and Pallas evaluation paths)."""
+    by the jnp and Pallas evaluation paths).  pallas_fb selects the tiled
+    Pallas block kernel for the per-group direct sum (fp32 TPU; the jnp
+    einsum scan costs seconds per group at n=1M)."""
     dim = x.shape[1]
     # ---- exact fallback for overflowed tiles --------------------------
     # A tile spanning a Hilbert-curve discontinuity (the jump between the
@@ -355,16 +358,25 @@ def _finish_grouped(acc, xt, tile_over, ncount, lcount, ncnt, lcnt, m, x, n,
         flags = tile_over[tiles]
         xi_fb = xt[tiles].reshape(K_GRP * tile, dim)
 
-        def fb_body(carry, blk):
-            mj, xj = blk
-            d = xj[None, :, :] - xi_fb[:, None, :]
-            d2 = jnp.sum(d * d, axis=-1)
-            wt = mj[None, :] / (d2 * jnp.sqrt(d2) + epsv)
-            return carry + jnp.einsum("kl,kld->kd", wt, d), None
+        if pallas_fb:
+            from nbody_tpu.ops.pallas_allpairs import allpairs_block_pallas
 
-        fb_acc, _ = jax.lax.scan(
-            fb_body, jnp.zeros((K_GRP * tile, dim), dtype), (mj_all, xj_all)
-        )
+            fb_acc = allpairs_block_pallas(
+                xi_fb, m, x, eps_f,
+                interpret=(pallas_fb == "interpret"),
+            )
+        else:
+            def fb_body(carry, blk):
+                mj, xj = blk
+                d = xj[None, :, :] - xi_fb[:, None, :]
+                d2 = jnp.sum(d * d, axis=-1)
+                wt = mj[None, :] / (d2 * jnp.sqrt(d2) + epsv)
+                return carry + jnp.einsum("kl,kld->kd", wt, d), None
+
+            fb_acc, _ = jax.lax.scan(
+                fb_body, jnp.zeros((K_GRP * tile, dim), dtype),
+                (mj_all, xj_all)
+            )
         rows = (tiles[:, None] * tile + jnp.arange(tile)[None, :]).reshape(-1)
         chosen = jnp.where(jnp.repeat(flags, tile)[:, None], fb_acc,
                            acc[rows])
@@ -387,3 +399,194 @@ def _finish_grouped(acc, xt, tile_over, ncount, lcount, ncnt, lcnt, m, x, n,
         "leaf_overflow": jnp.zeros((), jnp.int32),
     }
     return Gv * acc, info
+
+
+@partial(
+    jax.jit,
+    static_argnames=("theta", "G", "eps", "tile", "window_tiles",
+                     "interpret"),
+)
+def compute_force_grouped_windowed(
+    tree: BVHTree,
+    m: jnp.ndarray,
+    x: jnp.ndarray,
+    theta: float,
+    G: float,
+    eps: float,
+    tile: int = 512,
+    window_tiles: int = 32,
+    interpret: bool = False,
+):
+    """Gather-free grouped BVH force (fp32 TPU fast path).
+
+    The list-based group traversal (compute_force_grouped) compacts
+    per-tile interaction lists with batched binary searches; on the v5e
+    those row gathers run at ~56M elem/s and dominate the whole step
+    (~13 s at n=1M).  This variant never builds per-tile lists:
+
+      far field   levels 0..L* are traversed with DENSE per-level accept
+                  masks (node data = contiguous heap slices, masks
+                  propagate by repeat -- no gathers), then evaluated by
+                  masked_eval_pallas: every tile vs the SHARED level-
+                  0..L* node arrays with its (T, W) accept mask streamed.
+      near field  nodes still open at L* are spatially near the tile
+                  (group MAC), and each L* node's subtree is a CONTIGUOUS
+                  range of the Hilbert-sorted bodies.  Each tile evaluates
+                  a contiguous window of `window_tiles` body-tiles around
+                  itself (pure block DMA via a t-dependent index map in
+                  window_eval_pallas) with a body-level membership mask.
+                  Evaluating exact bodies where the reference would
+                  descend to deeper monopoles is strictly MORE accurate,
+                  so the conservative never-less-accurate guarantee of
+                  the group MAC is preserved (bvh.h:246-324 semantics).
+      residual    open L* nodes OUTSIDE the window (Hilbert seams,
+                  extreme density contrast) flag the tile for the exact
+                  full-direct-sum fallback -- truncation is impossible.
+
+    L* is chosen so an L*-node covers ~min(tile, 256) bodies; window and
+    L* adapt to small n.  fp32-only (f64/CPU runs use the list path).
+    """
+    from nbody_tpu.ops.pallas_group_eval import (
+        masked_eval_pallas,
+        window_eval_pallas,
+    )
+
+    n, dim = x.shape
+    dtype = x.dtype
+    nlevels = tree.nlevels
+    nbodies_tree = 1 << nlevels   # implicit bodies incl. pow2 padding
+    theta2 = jnp.asarray(float(theta) ** 2, dtype)
+    Gv = jnp.asarray(G, dtype)
+    epsv = jnp.asarray(float(eps), dtype)
+
+    ntiles = -(-n // tile)
+    npad = ntiles * tile
+    xp = jnp.pad(x, ((0, npad - n), (0, 0)))
+    mp = jnp.pad(m, (0, npad - n))
+    xt = xp.reshape(ntiles, tile, dim)
+    valid = (jnp.arange(npad) < n).reshape(ntiles, tile)
+    xt_real = jnp.where(valid[:, :, None], xt, xt[:, :1, :])
+    tmin = jnp.min(xt_real, axis=1)
+    tmax = jnp.max(xt_real, axis=1)
+
+    # L*: node covers S = 2^(nlevels - L*) bodies; want S = min(256, tile)
+    S_target = min(256, tile)
+    level_star = max(0, nlevels - S_target.bit_length() + 1 - 1)
+    # ensure S <= tile so tile boundaries align with node boundaries
+    S = 1 << (nlevels - level_star)
+    while S > tile and level_star < nlevels:
+        level_star += 1
+        S = 1 << (nlevels - level_star)
+
+    mm, mx, bw = tree.mm, tree.mx, tree.bw
+
+    def mac_accept(com, w, mask):
+        dmin_v = jnp.maximum(tmin[:, None, :] - com, jnp.zeros((), dtype))
+        dmin_v = jnp.maximum(dmin_v, com - tmax[:, None, :])
+        dmin2 = jnp.sum(dmin_v * dmin_v, axis=-1)
+        return mask & (w * w < theta2 * dmin2)
+
+    accept_masks = []
+    open_mask = jnp.ones((ntiles, 1), jnp.bool_)
+    for l in range(level_star + 1):
+        lo_i, hi_i = (1 << l) - 1, (1 << (l + 1)) - 1
+        com = jnp.broadcast_to(mx[lo_i:hi_i][None],
+                               (ntiles, hi_i - lo_i, dim))
+        w = jnp.broadcast_to(bw[lo_i:hi_i][None], (ntiles, hi_i - lo_i))
+        accept = mac_accept(com, w, open_mask)
+        open_ = open_mask & ~accept
+        accept_masks.append(accept)
+        if l < level_star:
+            open_mask = jnp.repeat(open_, 2, axis=1)
+        else:
+            open_mask = open_   # (ntiles, 2^L*)
+
+    W = (1 << (level_star + 1)) - 1
+    far_mask = jnp.concatenate(accept_masks, axis=1).astype(dtype)  # (T, W)
+
+    # dead nodes (zero mass) never force a near/residual evaluation
+    lvl_lo = (1 << level_star) - 1
+    node_alive = (mm[lvl_lo:lvl_lo + (1 << level_star)] > 0)[None, :]
+    open_mask = open_mask & node_alive
+
+    far = masked_eval_pallas(
+        xp.reshape(npad, dim), mm[:W], mx[:W].T, far_mask, float(eps),
+        interpret=interpret,
+    )
+
+    # ---- near field: contiguous window around each tile ---------------
+    wt = min(window_tiles, ntiles)
+    npt = tile // S                      # L*-nodes per body-tile
+    wnodes = wt * npt
+    t_idx = jnp.arange(ntiles, dtype=jnp.int32)
+    w0 = jnp.clip(t_idx - wt // 2, 0, ntiles - wt)          # tile units
+    w0n = w0 * npt                                          # node units
+    nodes_total = 1 << level_star
+    col = w0n[:, None] + jnp.arange(wnodes, dtype=jnp.int32)[None, :]
+    in_win = jnp.take_along_axis(
+        open_mask, jnp.minimum(col, nodes_total - 1), axis=1
+    )                                                       # (T, wnodes)
+    body_mask = jnp.broadcast_to(
+        in_win.astype(dtype)[:, :, None], (ntiles, wnodes, S)
+    ).reshape(ntiles, wt * tile)
+    near = window_eval_pallas(
+        xp.reshape(npad, dim), mp, xp.T, body_mask, w0, float(eps),
+        window_tiles=wt, interpret=interpret,
+    )
+
+    # ---- residual: open nodes OUTSIDE the window -----------------------
+    # Mid-range nodes that are too big for their distance (sparse-halo
+    # nodes) fail the MAC from far away -- every tile has a few dozen.
+    # Each covers a CONTIGUOUS S-body range of the sorted array, so they
+    # become a flat tile-sorted entry list evaluated EXACTLY by
+    # entries_eval_pallas (scalar-prefetch block DMA; evaluating bodies
+    # where the reference descends to deeper monopoles is strictly more
+    # accurate).
+    from nbody_tpu.ops.pallas_group_eval import entries_eval_pallas
+
+    all_nodes = jnp.arange(nodes_total, dtype=jnp.int32)[None, :]
+    outside = open_mask & (
+        (all_nodes < w0n[:, None]) | (all_nodes >= w0n[:, None] + wnodes)
+    )
+    out_count = jnp.sum(outside, axis=1).astype(jnp.int32)
+
+    R_slice = min(nodes_total, 512)
+    BIG = jnp.asarray(1 << 30, jnp.int32)
+    key = jnp.where(outside, jnp.broadcast_to(all_nodes, outside.shape), BIG)
+    sorted_ids = jnp.sort(key, axis=1)[:, :R_slice]          # (T, R)
+    slot = jnp.arange(R_slice, dtype=jnp.int32)[None, :]
+    vmask = slot < jnp.minimum(out_count, R_slice)[:, None]
+    zero_blk = npad // S                                     # all-zero pad block
+    nid_rows = jnp.concatenate(
+        [jnp.full((ntiles, 1), zero_blk, jnp.int32),         # per-tile sentinel
+         jnp.where(vmask, sorted_ids, zero_blk)], axis=1)
+    vflag = jnp.concatenate(
+        [jnp.ones((ntiles, 1), jnp.bool_), vmask], axis=1)
+    tid_rows = jnp.broadcast_to(t_idx[:, None], vflag.shape).astype(jnp.int32)
+    flat_v = vflag.reshape(-1)
+    flat_ent = ((tid_rows << 17) | nid_rows).reshape(-1)
+    rank = jnp.cumsum(flat_v.astype(jnp.int32)) - 1
+    E_cap = min(ntiles * (R_slice + 1),
+                max(1 << 16, 1 << (2 * ntiles - 1).bit_length()))
+    pad_entry = ((ntiles - 1) << 17) | zero_blk
+    entries = jnp.full((E_cap,), pad_entry, jnp.int32).at[
+        jnp.where(flat_v, rank, E_cap)
+    ].set(flat_ent, mode="drop")
+    per_tile = 1 + jnp.minimum(out_count, R_slice)
+    end_rank = jnp.cumsum(per_tile)
+    tile_over = (out_count > R_slice) | (end_rank > E_cap)
+
+    mp_j = jnp.concatenate([mp, jnp.zeros((S,), dtype)])
+    xp_j = jnp.concatenate([xp, jnp.zeros((S, dim), dtype)], axis=0)
+    resid = entries_eval_pallas(
+        xp.reshape(npad, dim), mp_j, xp_j.T, entries, float(eps),
+        S=S, tb=tile, interpret=interpret,
+    )
+
+    acc = far + near + resid
+    return _finish_grouped(
+        acc, xt, tile_over, out_count, jnp.zeros_like(out_count),
+        jnp.zeros_like(out_count), jnp.zeros_like(out_count),
+        m, x, n, ntiles, tile, npad, n, dtype, epsv, Gv,
+        pallas_fb=("interpret" if interpret else True), eps_f=float(eps),
+    )

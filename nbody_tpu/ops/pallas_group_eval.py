@@ -33,6 +33,7 @@ import functools
 import jax
 import jax.numpy as jnp
 from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
 
 
 def _round_up(x: int, m: int) -> int:
@@ -114,4 +115,250 @@ def group_eval_pallas(
         ),
         interpret=interpret,
     )(xi, xjt, mj[:, None, :])
+    return out
+
+
+def _masked_eval_kernel(dim, eps, softening, xi_ref, xjt_ref, mj_ref,
+                        mask_ref, out_ref):
+    """Shared j-arrays + per-tile mask: w = mask * m / soften(d2)."""
+    c = pl.program_id(1)
+
+    @pl.when(c == 0)
+    def _():
+        out_ref[:, :] = jnp.zeros_like(out_ref)
+
+    xi = xi_ref[:, :]
+    eps_v = jnp.asarray(eps, xi.dtype)
+    dx = []
+    d2 = None
+    for d in range(dim):
+        xd = xjt_ref[d, :][None, :] - xi[:, d][:, None]
+        dx.append(xd)
+        d2 = xd * xd if d2 is None else d2 + xd * xd
+    if softening == "poly":
+        t = d2 * jnp.sqrt(d2) + eps_v
+    else:
+        s = jnp.sqrt(d2) + eps_v
+        t = s * s * s
+    r = pl.reciprocal(t, approx=True)
+    r = r * (jnp.asarray(2.0, xi.dtype) - t * r)
+    w = (mask_ref[0, 0, :] * mj_ref[0, :])[None, :] * r
+    for d in range(dim):
+        out_ref[:, d] += jnp.sum(w * dx[d], axis=1)
+
+
+@functools.partial(
+    jax.jit, static_argnames=("eps", "tile_j", "interpret", "softening")
+)
+def masked_eval_pallas(
+    xi: jnp.ndarray,
+    mj: jnp.ndarray,
+    xjt: jnp.ndarray,
+    mask: jnp.ndarray,
+    eps: float,
+    tile_j: int = 1024,
+    interpret: bool = False,
+    softening: str = "poly",
+) -> jnp.ndarray:
+    """Far-field evaluation against SHARED j-arrays with a per-tile mask.
+
+    xi   (ntiles*TB, dim)  tile bodies
+    mj   (W,)              shared source masses (heap levels 0..L*)
+    xjt  (dim, W)          shared source positions, transposed
+    mask (ntiles, W)       1.0 where the node is group-MAC-accepted for
+                           the tile, else 0.0
+
+    The j-data is identical for every tile -- only the (ntiles, W) mask
+    streams per tile -- so the evaluation is completely gather-free
+    (batched row gathers measured ~56M elem/s on v5e, making any
+    list-gathering design HBM-gather-bound)."""
+    dim, W = xjt.shape
+    ntiles = mask.shape[0]
+    tb = xi.shape[0] // ntiles
+    dtype = xi.dtype
+    Wp = _round_up(W, tile_j)
+    if Wp != W:
+        mj = jnp.pad(mj, (0, Wp - W))
+        xjt = jnp.pad(xjt, ((0, 0), (0, Wp - W)))
+        mask = jnp.pad(mask, ((0, 0), (0, Wp - W)))
+
+    kernel = functools.partial(_masked_eval_kernel, dim, float(eps), softening)
+    out = pl.pallas_call(
+        kernel,
+        grid=(ntiles, Wp // tile_j),
+        in_specs=[
+            pl.BlockSpec((tb, dim), lambda t, c: (t, 0)),
+            pl.BlockSpec((dim, tile_j), lambda t, c: (0, c)),
+            pl.BlockSpec((1, tile_j), lambda t, c: (0, c)),
+            pl.BlockSpec((1, 1, tile_j), lambda t, c: (t, 0, c)),
+        ],
+        out_specs=pl.BlockSpec((tb, dim), lambda t, c: (t, 0)),
+        out_shape=jax.ShapeDtypeStruct((ntiles * tb, dim), dtype),
+        cost_estimate=pl.CostEstimate(
+            flops=int(13 * ntiles * tb) * int(Wp),
+            bytes_accessed=int(ntiles * (tb + Wp) * dim * 4),
+            transcendentals=int(ntiles * tb) * int(Wp),
+        ),
+        interpret=interpret,
+    )(xi, xjt, mj.reshape(1, Wp), mask[:, None, :])
+    return out
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("eps", "window_tiles", "interpret", "softening"),
+)
+def window_eval_pallas(
+    xi: jnp.ndarray,
+    mj: jnp.ndarray,
+    xjt: jnp.ndarray,
+    mask: jnp.ndarray,
+    w0: jnp.ndarray,
+    eps: float,
+    window_tiles: int,
+    interpret: bool = False,
+    softening: str = "poly",
+) -> jnp.ndarray:
+    """Near-field evaluation: tile t vs a CONTIGUOUS window of the sorted
+    body array starting at tile index w0[t] (w0 is in units of TB-body
+    tiles, already clamped by the caller).  The j-blocks are pure block
+    DMA via a t-dependent index map -- no gathers.  `mask` (ntiles, WB)
+    zeroes window bodies whose leaf-level node is not open for this tile.
+
+    xi  (ntiles*TB, dim); mj (npad,); xjt (dim, npad);
+    mask (ntiles, window_tiles*TB); w0 (ntiles,) int32."""
+    ntiles = mask.shape[0]
+    WB = mask.shape[1]
+    tb = WB // window_tiles
+    dim = xi.shape[1]
+    dtype = xi.dtype
+
+    base_kernel = functools.partial(_masked_eval_kernel, dim, float(eps),
+                                    softening)
+
+    def kernel(w0_ref, *refs):
+        # scalar-prefetch operand arrives first; the math kernel
+        # ignores it (it only drives the index maps)
+        base_kernel(*refs)
+
+    def jmap(t, c, w0_ref):
+        return (0, w0_ref[t] + c)
+
+    def jmap_m(t, c, w0_ref):
+        return (0, w0_ref[t] + c)
+
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=1,
+        grid=(ntiles, window_tiles),
+        in_specs=[
+            pl.BlockSpec((tb, dim), lambda t, c, w0_ref: (t, 0)),
+            pl.BlockSpec((dim, tb), jmap),
+            pl.BlockSpec((1, tb), jmap_m),
+            pl.BlockSpec((1, 1, tb), lambda t, c, w0_ref: (t, 0, c)),
+        ],
+        out_specs=pl.BlockSpec((tb, dim), lambda t, c, w0_ref: (t, 0)),
+    )
+    out = pl.pallas_call(
+        kernel,
+        grid_spec=grid_spec,
+        out_shape=jax.ShapeDtypeStruct((ntiles * tb, dim), dtype),
+        cost_estimate=pl.CostEstimate(
+            flops=int(13 * ntiles * tb) * int(WB),
+            bytes_accessed=int(ntiles * (tb + WB) * dim * 4),
+            transcendentals=int(ntiles * tb) * int(WB),
+        ),
+        interpret=interpret,
+    )(w0.astype(jnp.int32), xi, xjt, mj.reshape(1, -1), mask[:, None, :])
+    return out
+
+
+def _entries_kernel(dim, eps, softening, tb, ent_ref, xi_ref, xjt_ref,
+                    mj_ref, out_ref):
+    """One grid step per (tile, body-block) ENTRY: j = a contiguous
+    S-body block chosen by the entry, i/out = the entry's tile.  Entries
+    are sorted by tile, so the out block is revisited consecutively and
+    accumulates; it is zeroed when the tile id changes."""
+    e = pl.program_id(0)
+    tid = ent_ref[e] >> 17
+    prev = ent_ref[jnp.maximum(e - 1, 0)] >> 17
+
+    @pl.when((e == 0) | (tid != prev))
+    def _():
+        out_ref[:, :] = jnp.zeros_like(out_ref)
+
+    xi = xi_ref[:, :]
+    eps_v = jnp.asarray(eps, xi.dtype)
+    dx = []
+    d2 = None
+    for d in range(dim):
+        xd = xjt_ref[d, :][None, :] - xi[:, d][:, None]
+        dx.append(xd)
+        d2 = xd * xd if d2 is None else d2 + xd * xd
+    if softening == "poly":
+        t = d2 * jnp.sqrt(d2) + eps_v
+    else:
+        s = jnp.sqrt(d2) + eps_v
+        t = s * s * s
+    r = pl.reciprocal(t, approx=True)
+    r = r * (jnp.asarray(2.0, xi.dtype) - t * r)
+    w = mj_ref[0, :][None, :] * r
+    for d in range(dim):
+        out_ref[:, d] += jnp.sum(w * dx[d], axis=1)
+
+
+@functools.partial(
+    jax.jit, static_argnames=("eps", "S", "tb", "interpret", "softening")
+)
+def entries_eval_pallas(
+    xi: jnp.ndarray,
+    mj: jnp.ndarray,
+    xjt: jnp.ndarray,
+    entries: jnp.ndarray,
+    eps: float,
+    S: int,
+    tb: int,
+    interpret: bool = False,
+    softening: str = "poly",
+) -> jnp.ndarray:
+    """Entry-list evaluation: each entry packs (tile_id << 17 | block_id)
+    into an i32; tile i interacts with the contiguous body block
+    [block_id*S, (block_id+1)*S).  Entries MUST be sorted by tile_id and
+    every tile id in [0, ntiles) must appear at least once (callers
+    prepend a zero-mass sentinel block per tile).  Padding entries point
+    at a zero-mass block with tile_id = ntiles-1.
+
+    This is the gather-free residual evaluator: scalar-prefetch steers
+    contiguous block DMA, so scattered per-tile node sets cost regular
+    dense pair-work instead of ~56M elem/s row gathers.
+
+    xi (ntiles*tb, dim); mj (npad_j,) with the zero block appended;
+    xjt (dim, npad_j); entries (E,) i32."""
+    dim = xi.shape[1]
+    ntiles = xi.shape[0] // tb
+    E = entries.shape[0]
+    dtype = xi.dtype
+
+    kernel = functools.partial(_entries_kernel, dim, float(eps), softening,
+                               tb)
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=1,
+        grid=(E,),
+        in_specs=[
+            pl.BlockSpec((tb, dim), lambda e, ent: (ent[e] >> 17, 0)),
+            pl.BlockSpec((dim, S), lambda e, ent: (0, ent[e] & 0x1FFFF)),
+            pl.BlockSpec((1, S), lambda e, ent: (0, ent[e] & 0x1FFFF)),
+        ],
+        out_specs=pl.BlockSpec((tb, dim), lambda e, ent: (ent[e] >> 17, 0)),
+    )
+    out = pl.pallas_call(
+        kernel,
+        grid_spec=grid_spec,
+        out_shape=jax.ShapeDtypeStruct((ntiles * tb, dim), dtype),
+        cost_estimate=pl.CostEstimate(
+            flops=int(13 * tb) * int(E) * int(S),
+            bytes_accessed=int(E * (tb + S) * dim * 4),
+            transcendentals=int(tb) * int(E) * int(S),
+        ),
+        interpret=interpret,
+    )(entries.astype(jnp.int32), xi, xjt, mj.reshape(1, -1))
     return out

@@ -334,14 +334,49 @@ def test_group_pallas_eval_matches_jnp(f32_eps):
     (the kernel's Newton-refined reciprocal is <=1 ulp from division)."""
     from nbody_tpu.ops.bvh import build_tree
     from nbody_tpu.ops.bvh_group import compute_force_grouped
+    from nbody_tpu.ops.geometry import aabb_of_points
+    from nbody_tpu.ops.hilbert import hilbert_sort_perm
 
     m, x = _system(700, 2, clustered=True, seed=12)
+    xmin, xmax = aabb_of_points(x, f32_eps)
+    perm = hilbert_sort_perm(x, xmin, xmax)
+    ms, xs = m[perm], x[perm]
+    tree = build_tree(ms, xs, f32_eps)
+    a_j, _ = compute_force_grouped(tree, ms, xs, 0.5, 1.0, f32_eps)
+    a_p, _ = compute_force_grouped(tree, ms, xs, 0.5, 1.0, f32_eps,
+                                   use_pallas="interpret")
+    scale = float(jnp.max(jnp.abs(a_j))) + 1e-30
+    assert float(jnp.max(jnp.abs(a_p - a_j))) / scale < 1e-5
+
+
+def test_windowed_no_less_accurate_than_lists(f32_eps):
+    """The gather-free windowed path (bvh_step_force use_pallas) may only
+    IMPROVE on the list path: where lists descend to deeper monopoles it
+    evaluates exact bodies, so its error vs the dense direct sum must be
+    <= the list path's (same conservative group MAC above L*)."""
+    m, x = _system(700, 2, clustered=True, seed=12)
     st = _state(m, x)
-    out_j, _, _ = bvh_step_force(st, 0.5, 1.0, f32_eps, traversal="group")
-    out_p, _, _ = bvh_step_force(st, 0.5, 1.0, f32_eps, traversal="group",
+    out_l, _, _ = bvh_step_force(st, 0.5, 1.0, f32_eps, traversal="group")
+    out_w, _, _ = bvh_step_force(st, 0.5, 1.0, f32_eps, traversal="group",
                                  use_pallas="interpret")
-    scale = float(jnp.max(jnp.abs(out_j.a))) + 1e-30
-    assert float(jnp.max(jnp.abs(out_p.a - out_j.a))) / scale < 1e-5
+    a_exact = allpairs_accel_dense(out_l.m, out_l.x, 1.0, f32_eps)
+    err_l = float(jnp.linalg.norm(out_l.a - a_exact))
+    err_w = float(jnp.linalg.norm(out_w.a - a_exact))
+    den = float(jnp.linalg.norm(a_exact)) + 1e-30
+    assert err_w <= err_l * 1.01 + 1e-12, (err_w, err_l)
+    assert err_w / den < 0.02
+
+
+def test_windowed_theta0_equals_allpairs(f32_eps):
+    """theta=0 opens everything: the windowed path must still produce the
+    exact direct sum (window + residual fallback cover every body)."""
+    m, x = _system(300, 2, clustered=True, seed=9)
+    st = _state(m, x)
+    out, _, _ = bvh_step_force(st, 0.0, 1.0, f32_eps, traversal="group",
+                               use_pallas="interpret")
+    a_ref = allpairs_accel_dense(out.m, out.x, 1.0, f32_eps)
+    scale = float(jnp.max(jnp.abs(a_ref))) + 1e-30
+    assert float(jnp.max(jnp.abs(out.a - a_ref))) / scale < 1e-5
 
 
 def test_octree_group_pallas_eval_matches_jnp(f32_eps):
