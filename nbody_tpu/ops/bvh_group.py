@@ -142,25 +142,21 @@ def compute_force_grouped(
 
     def compact_rows(values, valid, width):
         """Pack valid entries of each row to the front, padding/slicing to
-        `width` columns; returns (values, valid, counts). Sort-free:
-        output slot k takes the k-th valid entry, located by a statically
-        UNROLLED batched binary search over the running valid count
-        (jnp.searchsorted lowers to a serial while loop that was measured
-        at ~265 ms per call on TPU)."""
-        csum = jnp.cumsum(valid.astype(jnp.int32), axis=1)
-        counts = csum[:, -1]
-        W = values.shape[1]
+        `width` columns; returns (values, valid, counts).  Invalid output
+        slots hold a large sentinel -- callers mask with the returned
+        validity and clip before indexing.  Implemented as ONE row sort
+        (list order is irrelevant to force evaluation): XLA's bitonic
+        sort is fully vectorized (~39 ms at (2k, 8k) on v5e), while the
+        previous unrolled binary search paid 13 rounds of take_along_axis
+        row gathers at ~56M elem/s (~786 ms per call -- it dominated the
+        whole force step at n=1M)."""
+        counts = jnp.sum(valid.astype(jnp.int32), axis=1)
+        big = jnp.asarray(1 << 30, values.dtype)
+        packed = jnp.sort(jnp.where(valid, values, big), axis=1)[:, :width]
+        if packed.shape[1] < width:   # input narrower than the cap
+            packed = jnp.pad(packed, ((0, 0), (0, width - packed.shape[1])),
+                             constant_values=1 << 30)
         ks = jnp.arange(1, width + 1, dtype=jnp.int32)[None, :]
-        lo = jnp.zeros((values.shape[0], width), jnp.int32)
-        hi = jnp.full((values.shape[0], width), W, jnp.int32)
-        for _ in range(max(1, W.bit_length())):
-            mid = (lo + hi) // 2
-            v = jnp.take_along_axis(csum, jnp.minimum(mid, W - 1), axis=1)
-            go_right = v < ks
-            lo = jnp.where(go_right, mid + 1, lo)
-            hi = jnp.where(go_right, hi, mid)
-        src = jnp.minimum(lo, W - 1)
-        packed = jnp.take_along_axis(values, src, axis=1)
         pvalid = ks <= counts[:, None]
         return packed, pvalid, counts
 
