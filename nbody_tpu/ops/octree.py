@@ -344,13 +344,39 @@ def octree_step_force(state: SystemState, theta: float, G: float, eps: float,
     tile-based interaction lists (nbody_tpu.ops.octree_group); "per-body"
     is the faithful per-body walk."""
     lo, hi = scalar_bounds(state.x)
+    if traversal == "group" and use_pallas:
+        # gather-free fast path: no OctreeLevels construction at all --
+        # Morton sort + dense prefix heap inside the grouped kernel; the
+        # aux tree size (occupied nodes per level, octree.h:313-316) is
+        # the per-level count of distinct sorted-key prefixes
+        from nbody_tpu.ops.octree_group import compute_force_grouped_fast
+
+        keys = morton_keys(state.x, lo, hi, depth)
+        perm = jnp.argsort(keys)
+        ms, xs, ks = state.m[perm], state.x[perm], keys[perm]
+        a_sorted, info = compute_force_grouped_fast(
+            ms, xs, ks, lo, hi, depth, theta, G, eps, tile=group_tile,
+            interpret=(use_pallas == "interpret"),
+        )
+        tree_size = jnp.ones((), jnp.int32)              # root
+        for l in range(1, depth + 1):
+            pre = (ks >> jnp.uint32((depth - l) * state.x.shape[1]))
+            tree_size = tree_size + 1 + jnp.sum(
+                (pre[1:] != pre[:-1]).astype(jnp.int32)
+            )
+        a = jnp.zeros_like(a_sorted).at[perm].set(a_sorted)
+        aux = {
+            "overflow": info["node_overflow"].astype(jnp.int32),
+            "tree_size": tree_size,
+            "root_mass": jnp.sum(state.m),
+        }
+        return dataclasses.replace(state, a=a), None, aux
     levels, perm, ms, xs = build_octree(state.m, state.x, lo, hi, depth)
     if traversal == "group":
         from nbody_tpu.ops.octree_group import compute_force_grouped
 
         a_sorted, info = compute_force_grouped(
             levels, ms, xs, hi - lo, theta, G, eps, tile=group_tile,
-            use_pallas=use_pallas,
         )
         overflow = info["node_overflow"].astype(jnp.int32)
     else:

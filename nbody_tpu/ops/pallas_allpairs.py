@@ -42,7 +42,8 @@ def _round_up(x: int, m: int) -> int:
 
 
 def _allpairs_kernel(dim: int, eps: float, exact: bool, fast: bool,
-                     far_thresh: float, xi_ref, xjt_ref, mj_ref, out_ref):
+                     far_thresh: float, softening: str,
+                     xi_ref, xjt_ref, mj_ref, out_ref):
     j = pl.program_id(1)
 
     @pl.when(j == 0)
@@ -66,8 +67,14 @@ def _allpairs_kernel(dim: int, eps: float, exact: bool, fast: bool,
         d2 = xd * xd if d2 is None else d2 + xd * xd
 
     def softened_w():
-        # w = m_j / (d2*sqrt(d2) + eps); self/coincident pairs -> 0 numerator
-        t = d2 * jnp.sqrt(d2) + eps_v
+        # w = m_j / (d2*sqrt(d2) + eps); self/coincident pairs -> 0 numerator.
+        # softening="sqrt3" uses the octree quirk (sqrt(d2)+eps)^3 instead
+        # (octree.h:156-160) -- used by the octree engines' exact fallback.
+        if softening == "sqrt3":
+            sq = jnp.sqrt(d2) + eps_v
+            t = sq * sq * sq
+        else:
+            t = d2 * jnp.sqrt(d2) + eps_v
         if exact:
             return mj_ref[0, :][None, :] / t
         # approximate reciprocal + one Newton step: <=1 ulp from the exact
@@ -138,7 +145,7 @@ def allpairs_accel_pallas(
     far_thresh = float((eps / fast_tol) ** (2.0 / 3.0))
     grid = (npad // tile_i, npad // tile_j)
     kernel = functools.partial(_allpairs_kernel, dim, float(eps), exact,
-                               bool(fast), far_thresh)
+                               bool(fast), far_thresh, "poly")
 
     out = pl.pallas_call(
         kernel,
@@ -162,7 +169,8 @@ def allpairs_accel_pallas(
 
 @functools.partial(
     jax.jit,
-    static_argnames=("eps", "tile_i", "tile_j", "interpret", "exact", "fast"),
+    static_argnames=("eps", "tile_i", "tile_j", "interpret", "exact", "fast",
+                     "softening"),
 )
 def allpairs_block_pallas(
     xi: jnp.ndarray,
@@ -174,6 +182,7 @@ def allpairs_block_pallas(
     interpret: bool = False,
     exact: bool = False,
     fast: bool = False,
+    softening: str = "poly",
 ) -> jnp.ndarray:
     """Raw (G-less) accelerations of the `xi` rows against the (mj, xj)
     body block -- the Pallas analog of allpairs.accel_rows_raw, used as
@@ -190,7 +199,7 @@ def allpairs_block_pallas(
 
     far_thresh = float((eps / 1e-6) ** (2.0 / 3.0))
     kernel = functools.partial(_allpairs_kernel, dim, float(eps), exact,
-                               bool(fast), far_thresh)
+                               bool(fast), far_thresh, softening)
     out = pl.pallas_call(
         kernel,
         grid=(nip // tile_i, njp // tile_j),

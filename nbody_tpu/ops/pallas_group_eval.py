@@ -362,3 +362,119 @@ def entries_eval_pallas(
         interpret=interpret,
     )(entries.astype(jnp.int32), xi, xjt, mj.reshape(1, -1))
     return out
+
+
+def _entries_tables_kernel(dim, eps, softening, S, ent_ref, blk_ref,
+                           lohi_ref, xi_ref, xjt_ref, mj_ref, init_ref,
+                           out_ref):
+    """Table-driven entry evaluation (octree fast path): each entry packs
+    (tile_id << 15 | gbe); the gbe row of the prefetched tables gives the
+    j body-block index and the [lo, hi) body subrange of that block that
+    belongs to the entry's cell.  Empty ranges (lo == hi -- the padding
+    sentinel) skip all math."""
+    e = pl.program_id(0)
+    ent = ent_ref[e]
+    tid = ent >> 15
+    prev = ent_ref[jnp.maximum(e - 1, 0)] >> 15
+
+    @pl.when((e == 0) | (tid != prev))
+    def _():
+        out_ref[:, :] = jnp.zeros_like(out_ref)
+
+    gbe = ent & 0x7FFF
+    lohi = lohi_ref[gbe]
+    lo = lohi & 0xFFFF
+    hi = lohi >> 16
+
+    @pl.when(hi > lo)
+    def _():
+        xi = xi_ref[:, :]
+        eps_v = jnp.asarray(eps, xi.dtype)
+        lane = jax.lax.broadcasted_iota(jnp.int32, (1, S), 1)
+        sel = ((lane >= lo) & (lane < hi)).astype(xi.dtype)
+        dx = []
+        d2 = None
+        for d in range(dim):
+            xd = xjt_ref[d, :][None, :] - xi[:, d][:, None]
+            dx.append(xd)
+            d2 = xd * xd if d2 is None else d2 + xd * xd
+        if softening == "poly":
+            t = d2 * jnp.sqrt(d2) + eps_v
+        else:
+            s = jnp.sqrt(d2) + eps_v
+            t = s * s * s
+        r = pl.reciprocal(t, approx=True)
+        r = r * (jnp.asarray(2.0, xi.dtype) - t * r)
+        w = (sel * mj_ref[0, :][None, :]) * r
+        for d in range(dim):
+            out_ref[:, d] += jnp.sum(w * dx[d], axis=1)
+
+
+@functools.partial(
+    jax.jit, static_argnames=("eps", "S", "tb", "interpret", "softening")
+)
+def entries_tables_eval_pallas(
+    xi: jnp.ndarray,
+    mj: jnp.ndarray,
+    xjt: jnp.ndarray,
+    entries: jnp.ndarray,
+    blk_tbl: jnp.ndarray,
+    lohi_tbl: jnp.ndarray,
+    eps: float,
+    S: int,
+    tb: int,
+    interpret: bool = False,
+    softening: str = "sqrt3",
+) -> jnp.ndarray:
+    """Chunked table-driven entry evaluation.  entries may be 1-D (one
+    call) or 2-D (nchunks, E_chunk): chunks run as separate grid passes
+    over the same tables and their partial outputs are SUMMED -- the
+    output is zero-initialized via input/output aliasing so tiles absent
+    from a chunk contribute nothing.  Entries must be sorted by tile id
+    within and across chunks."""
+    dim = xi.shape[1]
+    ntiles = xi.shape[0] // tb
+    dtype = xi.dtype
+    if entries.ndim == 1:
+        entries = entries[None, :]
+    nchunks, E = entries.shape
+
+    kernel = functools.partial(_entries_tables_kernel, dim, float(eps),
+                               softening, S)
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=3,
+        grid=(E,),
+        in_specs=[
+            pl.BlockSpec((tb, dim), lambda e, ent, blk, lh: (ent[e] >> 15, 0)),
+            pl.BlockSpec((dim, S),
+                         lambda e, ent, blk, lh: (0, blk[ent[e] & 0x7FFF])),
+            pl.BlockSpec((1, S),
+                         lambda e, ent, blk, lh: (0, blk[ent[e] & 0x7FFF])),
+            # zero-init operand: aliased to the output, never read by
+            # the kernel -- stays in HBM
+            pl.BlockSpec(memory_space=pl.ANY),
+        ],
+        out_specs=pl.BlockSpec((tb, dim), lambda e, ent, blk, lh:
+                               (ent[e] >> 15, 0)),
+    )
+
+    def one_chunk(ent_chunk):
+        init = jnp.zeros((ntiles * tb, dim), dtype)
+        return pl.pallas_call(
+            kernel,
+            grid_spec=grid_spec,
+            out_shape=jax.ShapeDtypeStruct((ntiles * tb, dim), dtype),
+            input_output_aliases={6: 0},
+            cost_estimate=pl.CostEstimate(
+                flops=int(13 * tb) * int(E) * int(S),
+                bytes_accessed=int(E * (tb + S) * dim * 4),
+                transcendentals=int(tb) * int(E) * int(S),
+            ),
+            interpret=interpret,
+        )(ent_chunk.astype(jnp.int32), blk_tbl.astype(jnp.int32),
+          lohi_tbl.astype(jnp.int32), xi, xjt, mj.reshape(1, -1), init)
+
+    out = one_chunk(entries[0])
+    for c in range(1, nchunks):
+        out = out + one_chunk(entries[c])
+    return out

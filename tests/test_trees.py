@@ -380,16 +380,66 @@ def test_windowed_theta0_equals_allpairs(f32_eps):
 
 
 def test_octree_group_pallas_eval_matches_jnp(f32_eps):
-    """Octree batched Pallas evaluation (interpret) == jnp evaluation,
-    including the (sqrt(d2)+eps)^3 softening quirk and single-body-cell
-    demotion."""
+    """Octree batched Pallas LIST evaluation (interpret) == jnp evaluation
+    of the same lists, including the (sqrt(d2)+eps)^3 softening quirk and
+    single-body-cell demotion."""
+    from nbody_tpu.ops.geometry import scalar_bounds
+    from nbody_tpu.ops.octree import build_octree, max_depth
+    from nbody_tpu.ops.octree_group import compute_force_grouped
+
+    m, x = _system(700, 2, clustered=True, seed=13)
+    depth = max_depth(700, 2)
+    lo, hi = scalar_bounds(jnp.asarray(x))
+    levels, _, ms, xs = build_octree(
+        jnp.asarray(m), jnp.asarray(x), lo, hi, depth
+    )
+    a_j, _ = compute_force_grouped(levels, ms, xs, hi - lo, 0.5, 1.0,
+                                   f32_eps)
+    a_p, _ = compute_force_grouped(levels, ms, xs, hi - lo, 0.5, 1.0,
+                                   f32_eps, use_pallas="interpret")
+    scale = float(jnp.max(jnp.abs(a_j))) + 1e-30
+    assert float(jnp.max(jnp.abs(a_p - a_j))) / scale < 1e-5
+
+
+def test_octree_fast_no_less_accurate(f32_eps):
+    """The gather-free octree fast path may only IMPROVE on the list
+    path's error vs the octree-softened exact direct sum (exact bodies
+    where lists descend to deeper monopoles; same conservative MAC)."""
     from nbody_tpu.ops.octree import max_depth, octree_step_force
 
     m, x = _system(700, 2, clustered=True, seed=13)
     st = _state(m, x)
     depth = max_depth(700, 2)
-    out_j, _, _ = octree_step_force(st, 0.5, 1.0, f32_eps, depth)
-    out_p, _, _ = octree_step_force(st, 0.5, 1.0, f32_eps, depth,
+    out_l, _, _ = octree_step_force(st, 0.5, 1.0, f32_eps, depth)
+    out_f, _, _ = octree_step_force(st, 0.5, 1.0, f32_eps, depth,
                                     use_pallas="interpret")
-    scale = float(jnp.max(jnp.abs(out_j.a))) + 1e-30
-    assert float(jnp.max(jnp.abs(out_p.a - out_j.a))) / scale < 1e-5
+    # octree-softened exact sum ((sqrt(d2)+eps)^3)
+    xs = jnp.asarray(x, jnp.float64)
+    msd = jnp.asarray(m, jnp.float64)
+    d = xs[None, :, :] - xs[:, None, :]
+    dist = jnp.sqrt(jnp.sum(d * d, axis=-1)) + f32_eps
+    w = msd[None, :] / (dist ** 3)
+    a_exact = jnp.einsum("ij,ijd->id", w, d)
+    err_l = float(jnp.linalg.norm(out_l.a - a_exact))
+    err_f = float(jnp.linalg.norm(out_f.a - a_exact))
+    assert err_f <= err_l * 1.01 + 1e-12, (err_f, err_l)
+
+
+def test_octree_fast_theta0_exact(f32_eps):
+    """theta=0: only single-body cells are accepted (exact) and every
+    multi-body cell is evaluated as exact bodies -- the fast path must
+    reproduce the octree-softened direct sum."""
+    from nbody_tpu.ops.octree import max_depth, octree_step_force
+
+    m, x = _system(300, 2, clustered=True, seed=9)
+    st = _state(m, x)
+    depth = max_depth(300, 2)
+    out, _, _ = octree_step_force(st, 0.0, 1.0, f32_eps, depth,
+                                  use_pallas="interpret")
+    xs = jnp.asarray(x)
+    d = xs[None, :, :] - xs[:, None, :]
+    dist = jnp.sqrt(jnp.sum(d * d, axis=-1)) + f32_eps
+    w = jnp.asarray(m)[None, :] / (dist * dist * dist)
+    a_ref = jnp.einsum("ij,ijd->id", w, d)
+    scale = float(jnp.max(jnp.abs(a_ref))) + 1e-30
+    assert float(jnp.max(jnp.abs(out.a - a_ref))) / scale < 2e-5
