@@ -85,9 +85,42 @@ def measure_dim(dim: int) -> dict:
     }
 
 
+def measure_tree(algorithm: str) -> float:
+    """Seconds per full Barnes-Hut step (sort + build + traversal + force
+    + integrate) at N=1M, 2-D galaxy, theta=0.5 fp32 -- the reference's
+    'GPU large' benchmark config (ci/benchmark:78-99) in the headline
+    2-D precision.  Uses the production engine step (gather-free grouped
+    fast path on TPU)."""
+    import jax
+
+    from nbody_tpu.models import build_galaxy_model
+    from nbody_tpu.sim.engines import EngineOptions, get_engine
+    from nbody_tpu.utils.measure import scan_seconds_per_step
+
+    cfg, state = build_galaxy_model(1_000_000, 2, np.float32)
+    step = get_engine(algorithm).make_step(cfg, EngineOptions())
+
+    from functools import partial
+
+    @partial(jax.jit, static_argnames=("iters",))
+    def loop(state, iters):
+        def body(s, k):
+            s2, _ = step(s, k)
+            return s2, None
+
+        import jax.numpy as jnp
+
+        return jax.lax.scan(body, state, jnp.arange(iters))[0].x
+
+    return scan_seconds_per_step(loop, (state,), iters_short=1, iters_long=4,
+                                 repeats=2)
+
+
 def main() -> int:
     r3 = measure_dim(3)
     r2 = measure_dim(2)
+    bvh_dt = measure_tree("bvh")
+    oct_dt = measure_tree("octree")
     print(
         json.dumps(
             {
@@ -101,6 +134,8 @@ def main() -> int:
                 "sec_per_step_2d": r2["sec_per_step"],
                 "vpu_slot_utilization_3d": r3["vpu_slot_utilization"],
                 "vpu_slot_utilization_2d": r2["vpu_slot_utilization"],
+                "bvh_1m_2d_sec_per_step": bvh_dt,
+                "octree_1m_2d_sec_per_step": oct_dt,
             }
         )
     )
