@@ -367,10 +367,11 @@ def test_windowed_no_less_accurate_than_lists(f32_eps):
     assert err_w / den < 0.02
 
 
-def test_windowed_theta0_equals_allpairs(f32_eps):
+@pytest.mark.parametrize("dim", [2, 3])
+def test_windowed_theta0_equals_allpairs(dim, f32_eps):
     """theta=0 opens everything: the windowed path must still produce the
     exact direct sum (window + residual fallback cover every body)."""
-    m, x = _system(300, 2, clustered=True, seed=9)
+    m, x = _system(300, dim, clustered=True, seed=9)
     st = _state(m, x)
     out, _, _ = bvh_step_force(st, 0.0, 1.0, f32_eps, traversal="group",
                                use_pallas="interpret")
@@ -425,15 +426,16 @@ def test_octree_fast_no_less_accurate(f32_eps):
     assert err_f <= err_l * 1.01 + 1e-12, (err_f, err_l)
 
 
-def test_octree_fast_theta0_exact(f32_eps):
+@pytest.mark.parametrize("dim", [2, 3])
+def test_octree_fast_theta0_exact(dim, f32_eps):
     """theta=0: only single-body cells are accepted (exact) and every
     multi-body cell is evaluated as exact bodies -- the fast path must
     reproduce the octree-softened direct sum."""
     from nbody_tpu.ops.octree import max_depth, octree_step_force
 
-    m, x = _system(300, 2, clustered=True, seed=9)
+    m, x = _system(300, dim, clustered=True, seed=9)
     st = _state(m, x)
-    depth = max_depth(300, 2)
+    depth = max_depth(300, dim)
     out, _, _ = octree_step_force(st, 0.0, 1.0, f32_eps, depth,
                                   use_pallas="interpret")
     xs = jnp.asarray(x)
