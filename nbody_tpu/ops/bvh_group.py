@@ -473,6 +473,10 @@ def compute_force_grouped_windowed(
     while S > tile and level_star < nlevels:
         level_star += 1
         S = 1 << (nlevels - level_star)
+    if (1 << level_star) + 1 > (1 << 16):
+        # packed entries hold the node id in 16 bits; beyond ~16M bodies
+        # per chip the list path (use_pallas=False) still works
+        raise ValueError("windowed BVH path supports at most 2^16 L* nodes")
 
     mm, mx, bw = tree.mm, tree.mx, tree.bw
 
@@ -538,7 +542,7 @@ def compute_force_grouped_windowed(
     # entries_eval_pallas (scalar-prefetch block DMA; evaluating bodies
     # where the reference descends to deeper monopoles is strictly more
     # accurate).
-    from nbody_tpu.ops.pallas_group_eval import entries_eval_pallas
+    from nbody_tpu.ops.pallas_group_eval import entries_tables_eval_pallas
 
     all_nodes = jnp.arange(nodes_total, dtype=jnp.int32)[None, :]
     outside = open_mask & (
@@ -546,25 +550,39 @@ def compute_force_grouped_windowed(
     )
     out_count = jnp.sum(outside, axis=1).astype(jnp.int32)
 
-    R_slice = min(nodes_total, 512)
+    # gbe table: gbe == node id; one pad row (lo == hi) absorbs both the
+    # per-tile sentinels and the tail padding
+    R_slice = min(nodes_total, 1024)
     BIG = jnp.asarray(1 << 30, jnp.int32)
     key = jnp.where(outside, jnp.broadcast_to(all_nodes, outside.shape), BIG)
     sorted_ids = jnp.sort(key, axis=1)[:, :R_slice]          # (T, R)
     slot = jnp.arange(R_slice, dtype=jnp.int32)[None, :]
     vmask = slot < jnp.minimum(out_count, R_slice)[:, None]
-    zero_blk = npad // S                                     # all-zero pad block
+    pad_gbe = nodes_total
+    blk_tbl = jnp.concatenate(
+        [jnp.arange(nodes_total, dtype=jnp.int32),
+         jnp.zeros((1,), jnp.int32)])
+    lohi_tbl = jnp.concatenate(
+        [jnp.full((nodes_total,), S << 16, jnp.int32),
+         jnp.zeros((1,), jnp.int32)])
     nid_rows = jnp.concatenate(
-        [jnp.full((ntiles, 1), zero_blk, jnp.int32),         # per-tile sentinel
-         jnp.where(vmask, sorted_ids, zero_blk)], axis=1)
+        [jnp.full((ntiles, 1), pad_gbe, jnp.int32),          # per-tile sentinel
+         jnp.where(vmask, sorted_ids, pad_gbe)], axis=1)
     vflag = jnp.concatenate(
         [jnp.ones((ntiles, 1), jnp.bool_), vmask], axis=1)
     tid_rows = jnp.broadcast_to(t_idx[:, None], vflag.shape).astype(jnp.int32)
     flat_v = vflag.reshape(-1)
-    flat_ent = ((tid_rows << 17) | nid_rows).reshape(-1)
+    flat_ent = ((tid_rows << 16) | nid_rows).reshape(-1)
     rank = jnp.cumsum(flat_v.astype(jnp.int32)) - 1
-    E_cap = min(ntiles * (R_slice + 1),
-                max(1 << 16, 1 << (2 * ntiles - 1).bit_length()))
-    pad_entry = ((ntiles - 1) << 17) | zero_blk
+    E_CHUNK = 49152
+    # measured outside-window opens per tile: ~24 mean in 2-D, ~200 in
+    # 3-D (concentrated galaxy); pad entries skip math but still pay a
+    # grid step, so budget by dimension
+    per_tile_est = 40 if dim == 2 else 240
+    n_chunks = max(1, min(10, -(-(ntiles * per_tile_est + ntiles) // E_CHUNK)))
+    E_cap = min(ntiles * (R_slice + 1), n_chunks * E_CHUNK)
+    E_cap = -(-E_cap // E_CHUNK) * E_CHUNK
+    pad_entry = ((ntiles - 1) << 16) | pad_gbe
     entries = jnp.full((E_cap,), pad_entry, jnp.int32).at[
         jnp.where(flat_v, rank, E_cap)
     ].set(flat_ent, mode="drop")
@@ -572,11 +590,10 @@ def compute_force_grouped_windowed(
     end_rank = jnp.cumsum(per_tile)
     tile_over = (out_count > R_slice) | (end_rank > E_cap)
 
-    mp_j = jnp.concatenate([mp, jnp.zeros((S,), dtype)])
-    xp_j = jnp.concatenate([xp, jnp.zeros((S, dim), dtype)], axis=0)
-    resid = entries_eval_pallas(
-        xp.reshape(npad, dim), mp_j, xp_j.T, entries, float(eps),
-        S=S, tb=tile, interpret=interpret,
+    resid = entries_tables_eval_pallas(
+        xp.reshape(npad, dim), mp, xp.T,
+        entries.reshape(-1, E_CHUNK), blk_tbl, lohi_tbl,
+        float(eps), S=S, tb=tile, interpret=interpret, softening="poly",
     )
 
     acc = far + near + resid

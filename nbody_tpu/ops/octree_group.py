@@ -455,13 +455,23 @@ def compute_force_grouped_fast(
     # L*: nbranch^L* cells of ~256 bodies each; S-body blocks sized so
     # the global block count stays <= 4096 (the run table must fit the
     # 15-bit gbe field of packed entries)
+    # in 3-D the reference's galaxy is a thin disk: occupancy scales
+    # with AREA, so cells at the volume-based L* hold far too many
+    # bodies (measured: 1402/1954 tiles fell back at n=1M 3-D); go one
+    # level deeper there
+    occ = 8 if dim == 3 else 1
     level_star = 1
-    while (1 << (dim * level_star)) * 256 < npad and level_star < depth:
+    while (1 << (dim * level_star)) * 256 < npad * occ and level_star < depth:
         level_star += 1
-    C = 1 << (dim * level_star)
     S = 256
-    while npad // S > 4096:
+    while npad // S > 16384:
         S *= 2
+    # the packed-entry gbe field is 16 bits: clamp L* so the run table
+    # (C cells + npad/S blocks + 1 pad row) stays addressable
+    while (1 << (dim * level_star)) + npad // S + 1 > (1 << 16) \
+            and level_star > 1:
+        level_star -= 1
+    C = 1 << (dim * level_star)
 
     # ---- dense prefix heap, levels 0..L* ------------------------------
     shift = jnp.uint32((depth - level_star) * dim)
@@ -572,13 +582,18 @@ def compute_force_grouped_fast(
         [jnp.ones((ntiles, 1), jnp.bool_), vmask], axis=1)
     tid_rows = jnp.broadcast_to(t_idx[:, None], vflag.shape).astype(jnp.int32)
     flat_v = vflag.reshape(-1)
-    flat_ent = ((tid_rows << 15) | ent_rows).reshape(-1)
+    flat_ent = ((tid_rows << 16) | ent_rows).reshape(-1)
     frank = jnp.cumsum(flat_v.astype(jnp.int32)) - 1
     E_CHUNK = 49152
-    n_chunks = max(1, min(8, -(-(ntiles * 180 + ntiles) // E_CHUNK)))
+    # 3-D distributions are concentrated (the reference's 3-D galaxy
+    # occupies ~100 of 4096 L4 cells), so per-tile entry counts run ~2.5x
+    # the 2-D case -- budget accordingly (measured: 787k entries at
+    # n=1M 3-D galaxy, L*=5)
+    per_tile_est = 180 if dim == 2 else 440
+    n_chunks = max(1, min(16, -(-(ntiles * per_tile_est + ntiles) // E_CHUNK)))
     E_cap = min(ntiles * (R_slice + 1), n_chunks * E_CHUNK)
     E_cap = -(-E_cap // E_CHUNK) * E_CHUNK
-    pad_entry = ((ntiles - 1) << 15) | pad_gbe
+    pad_entry = ((ntiles - 1) << 16) | pad_gbe
     entries = jnp.full((E_cap,), pad_entry, jnp.int32).at[
         jnp.where(flat_v, frank, E_cap)
     ].set(flat_ent, mode="drop")

@@ -272,116 +272,24 @@ def window_eval_pallas(
     return out
 
 
-def _entries_kernel(dim, eps, softening, tb, ent_ref, xi_ref, xjt_ref,
-                    mj_ref, out_ref):
-    """One grid step per (tile, body-block) ENTRY: j = a contiguous
-    S-body block chosen by the entry, i/out = the entry's tile.  Entries
-    are sorted by tile, so the out block is revisited consecutively and
-    accumulates; it is zeroed when the tile id changes."""
-    e = pl.program_id(0)
-    tid = ent_ref[e] >> 17
-    prev = ent_ref[jnp.maximum(e - 1, 0)] >> 17
-
-    @pl.when((e == 0) | (tid != prev))
-    def _():
-        out_ref[:, :] = jnp.zeros_like(out_ref)
-
-    xi = xi_ref[:, :]
-    eps_v = jnp.asarray(eps, xi.dtype)
-    dx = []
-    d2 = None
-    for d in range(dim):
-        xd = xjt_ref[d, :][None, :] - xi[:, d][:, None]
-        dx.append(xd)
-        d2 = xd * xd if d2 is None else d2 + xd * xd
-    if softening == "poly":
-        t = d2 * jnp.sqrt(d2) + eps_v
-    else:
-        s = jnp.sqrt(d2) + eps_v
-        t = s * s * s
-    r = pl.reciprocal(t, approx=True)
-    r = r * (jnp.asarray(2.0, xi.dtype) - t * r)
-    w = mj_ref[0, :][None, :] * r
-    for d in range(dim):
-        out_ref[:, d] += jnp.sum(w * dx[d], axis=1)
-
-
-@functools.partial(
-    jax.jit, static_argnames=("eps", "S", "tb", "interpret", "softening")
-)
-def entries_eval_pallas(
-    xi: jnp.ndarray,
-    mj: jnp.ndarray,
-    xjt: jnp.ndarray,
-    entries: jnp.ndarray,
-    eps: float,
-    S: int,
-    tb: int,
-    interpret: bool = False,
-    softening: str = "poly",
-) -> jnp.ndarray:
-    """Entry-list evaluation: each entry packs (tile_id << 17 | block_id)
-    into an i32; tile i interacts with the contiguous body block
-    [block_id*S, (block_id+1)*S).  Entries MUST be sorted by tile_id and
-    every tile id in [0, ntiles) must appear at least once (callers
-    prepend a zero-mass sentinel block per tile).  Padding entries point
-    at a zero-mass block with tile_id = ntiles-1.
-
-    This is the gather-free residual evaluator: scalar-prefetch steers
-    contiguous block DMA, so scattered per-tile node sets cost regular
-    dense pair-work instead of ~56M elem/s row gathers.
-
-    xi (ntiles*tb, dim); mj (npad_j,) with the zero block appended;
-    xjt (dim, npad_j); entries (E,) i32."""
-    dim = xi.shape[1]
-    ntiles = xi.shape[0] // tb
-    E = entries.shape[0]
-    dtype = xi.dtype
-
-    kernel = functools.partial(_entries_kernel, dim, float(eps), softening,
-                               tb)
-    grid_spec = pltpu.PrefetchScalarGridSpec(
-        num_scalar_prefetch=1,
-        grid=(E,),
-        in_specs=[
-            pl.BlockSpec((tb, dim), lambda e, ent: (ent[e] >> 17, 0)),
-            pl.BlockSpec((dim, S), lambda e, ent: (0, ent[e] & 0x1FFFF)),
-            pl.BlockSpec((1, S), lambda e, ent: (0, ent[e] & 0x1FFFF)),
-        ],
-        out_specs=pl.BlockSpec((tb, dim), lambda e, ent: (ent[e] >> 17, 0)),
-    )
-    out = pl.pallas_call(
-        kernel,
-        grid_spec=grid_spec,
-        out_shape=jax.ShapeDtypeStruct((ntiles * tb, dim), dtype),
-        cost_estimate=pl.CostEstimate(
-            flops=int(13 * tb) * int(E) * int(S),
-            bytes_accessed=int(E * (tb + S) * dim * 4),
-            transcendentals=int(tb) * int(E) * int(S),
-        ),
-        interpret=interpret,
-    )(entries.astype(jnp.int32), xi, xjt, mj.reshape(1, -1))
-    return out
-
-
 def _entries_tables_kernel(dim, eps, softening, S, ent_ref, blk_ref,
                            lohi_ref, xi_ref, xjt_ref, mj_ref, init_ref,
                            out_ref):
     """Table-driven entry evaluation (octree fast path): each entry packs
-    (tile_id << 15 | gbe); the gbe row of the prefetched tables gives the
+    (tile_id << 16 | gbe); the gbe row of the prefetched tables gives the
     j body-block index and the [lo, hi) body subrange of that block that
     belongs to the entry's cell.  Empty ranges (lo == hi -- the padding
     sentinel) skip all math."""
     e = pl.program_id(0)
     ent = ent_ref[e]
-    tid = ent >> 15
-    prev = ent_ref[jnp.maximum(e - 1, 0)] >> 15
+    tid = ent >> 16
+    prev = ent_ref[jnp.maximum(e - 1, 0)] >> 16
 
     @pl.when((e == 0) | (tid != prev))
     def _():
         out_ref[:, :] = jnp.zeros_like(out_ref)
 
-    gbe = ent & 0x7FFF
+    gbe = ent & 0xFFFF
     lohi = lohi_ref[gbe]
     lo = lohi & 0xFFFF
     hi = lohi >> 16
@@ -445,17 +353,17 @@ def entries_tables_eval_pallas(
         num_scalar_prefetch=3,
         grid=(E,),
         in_specs=[
-            pl.BlockSpec((tb, dim), lambda e, ent, blk, lh: (ent[e] >> 15, 0)),
+            pl.BlockSpec((tb, dim), lambda e, ent, blk, lh: (ent[e] >> 16, 0)),
             pl.BlockSpec((dim, S),
-                         lambda e, ent, blk, lh: (0, blk[ent[e] & 0x7FFF])),
+                         lambda e, ent, blk, lh: (0, blk[ent[e] & 0xFFFF])),
             pl.BlockSpec((1, S),
-                         lambda e, ent, blk, lh: (0, blk[ent[e] & 0x7FFF])),
+                         lambda e, ent, blk, lh: (0, blk[ent[e] & 0xFFFF])),
             # zero-init operand: aliased to the output, never read by
             # the kernel -- stays in HBM
             pl.BlockSpec(memory_space=pl.ANY),
         ],
         out_specs=pl.BlockSpec((tb, dim), lambda e, ent, blk, lh:
-                               (ent[e] >> 15, 0)),
+                               (ent[e] >> 16, 0)),
     )
 
     def one_chunk(ent_chunk):
