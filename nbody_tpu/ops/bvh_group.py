@@ -400,7 +400,7 @@ def _finish_grouped(acc, xt, tile_over, ncount, lcount, ncnt, lcnt, m, x, n,
 @partial(
     jax.jit,
     static_argnames=("theta", "G", "eps", "tile", "window_tiles",
-                     "interpret"),
+                     "interpret", "e_chunk", "nrows"),
 )
 def compute_force_grouped_windowed(
     tree: BVHTree,
@@ -412,6 +412,9 @@ def compute_force_grouped_windowed(
     tile: int = 512,
     window_tiles: int = 32,
     interpret: bool = False,
+    e_chunk: int = 49152,
+    row_start=None,
+    nrows: int | None = None,
 ):
     """Gather-free grouped BVH force (fp32 TPU fast path).
 
@@ -455,15 +458,36 @@ def compute_force_grouped_windowed(
     Gv = jnp.asarray(G, dtype)
     epsv = jnp.asarray(float(eps), dtype)
 
-    ntiles = -(-n // tile)
-    npad = ntiles * tile
-    xp = jnp.pad(x, ((0, npad - n), (0, 0)))
-    mp = jnp.pad(m, (0, npad - n))
+    # shard-local rows (multi-chip: each shard owns a contiguous row
+    # range of the sorted bodies and evaluates it against the full
+    # replicated tree/body arrays; see parallel/tree_sharded.py)
+    if nrows is None:
+        ntiles = -(-n // tile)
+        npad = ntiles * tile
+        row0 = jnp.zeros((), jnp.int32)
+        out_rows = n
+    else:
+        if nrows % tile != 0:
+            raise ValueError("nrows must be divisible by tile")
+        ntiles = nrows // tile
+        npad = nrows
+        row0 = jnp.asarray(row_start, jnp.int32)
+        out_rows = nrows
+    # FULL padded body arrays (window/entry j-blocks address them)
+    ntiles_g = -(-n // tile)
+    npad_g = ntiles_g * tile
+    xp_g = jnp.pad(x, ((0, npad_g - n), (0, 0)))
+    mp_g = jnp.pad(m, (0, npad_g - n))
+    if nrows is None:
+        xp = xp_g
+    else:
+        xp = jax.lax.dynamic_slice_in_dim(xp_g, row0, nrows, axis=0)
     xt = xp.reshape(ntiles, tile, dim)
-    valid = (jnp.arange(npad) < n).reshape(ntiles, tile)
+    valid = (row0 + jnp.arange(npad) < n).reshape(ntiles, tile)
     xt_real = jnp.where(valid[:, :, None], xt, xt[:, :1, :])
     tmin = jnp.min(xt_real, axis=1)
     tmax = jnp.max(xt_real, axis=1)
+    tile0 = row0 // tile                       # global index of tile 0
 
     # L*: node covers S = 2^(nlevels - L*) bodies; want S = min(256, tile)
     S_target = min(256, tile)
@@ -515,11 +539,11 @@ def compute_force_grouped_windowed(
     )
 
     # ---- near field: contiguous window around each tile ---------------
-    wt = min(window_tiles, ntiles)
+    wt = min(window_tiles, ntiles_g)
     npt = tile // S                      # L*-nodes per body-tile
     wnodes = wt * npt
     t_idx = jnp.arange(ntiles, dtype=jnp.int32)
-    w0 = jnp.clip(t_idx - wt // 2, 0, ntiles - wt)          # tile units
+    w0 = jnp.clip(tile0 + t_idx - wt // 2, 0, ntiles_g - wt)  # global tiles
     w0n = w0 * npt                                          # node units
     nodes_total = 1 << level_star
     col = w0n[:, None] + jnp.arange(wnodes, dtype=jnp.int32)[None, :]
@@ -530,7 +554,7 @@ def compute_force_grouped_windowed(
         in_win.astype(dtype)[:, :, None], (ntiles, wnodes, S)
     ).reshape(ntiles, wt * tile)
     near = window_eval_pallas(
-        xp.reshape(npad, dim), mp, xp.T, body_mask, w0, float(eps),
+        xp.reshape(npad, dim), mp_g, xp_g.T, body_mask, w0, float(eps),
         window_tiles=wt, interpret=interpret,
     )
 
@@ -574,7 +598,7 @@ def compute_force_grouped_windowed(
     flat_v = vflag.reshape(-1)
     flat_ent = ((tid_rows << 16) | nid_rows).reshape(-1)
     rank = jnp.cumsum(flat_v.astype(jnp.int32)) - 1
-    E_CHUNK = 49152
+    E_CHUNK = e_chunk
     # measured outside-window opens per tile: ~24 mean in 2-D, ~200 in
     # 3-D (concentrated galaxy); pad entries skip math but still pay a
     # grid step, so budget by dimension
@@ -591,7 +615,7 @@ def compute_force_grouped_windowed(
     tile_over = (out_count > R_slice) | (end_rank > E_cap)
 
     resid = entries_tables_eval_pallas(
-        xp.reshape(npad, dim), mp, xp.T,
+        xp.reshape(npad, dim), mp_g, xp_g.T,
         entries.reshape(-1, E_CHUNK), blk_tbl, lohi_tbl,
         float(eps), S=S, tb=tile, interpret=interpret, softening="poly",
     )
@@ -600,6 +624,6 @@ def compute_force_grouped_windowed(
     return _finish_grouped(
         acc, xt, tile_over, out_count, jnp.zeros_like(out_count),
         jnp.zeros_like(out_count), jnp.zeros_like(out_count),
-        m, x, n, ntiles, tile, npad, n, dtype, epsv, Gv,
+        m, x, n, ntiles, tile, npad, out_rows, dtype, epsv, Gv,
         pallas_fb=("interpret" if interpret else True), eps_f=float(eps),
     )

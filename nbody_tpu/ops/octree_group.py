@@ -382,7 +382,8 @@ def compute_force_grouped(
 
 @partial(
     jax.jit,
-    static_argnames=("depth", "theta", "G", "eps", "tile", "interpret"),
+    static_argnames=("depth", "theta", "G", "eps", "tile", "interpret",
+                     "e_chunk"),
 )
 def compute_force_grouped_fast(
     ms: jnp.ndarray,
@@ -396,6 +397,7 @@ def compute_force_grouped_fast(
     eps: float,
     tile: int = 512,
     interpret: bool = False,
+    e_chunk: int = 49152,
 ):
     """Gather-free grouped octree force (fp32 TPU fast path).
 
@@ -584,7 +586,7 @@ def compute_force_grouped_fast(
     flat_v = vflag.reshape(-1)
     flat_ent = ((tid_rows << 16) | ent_rows).reshape(-1)
     frank = jnp.cumsum(flat_v.astype(jnp.int32)) - 1
-    E_CHUNK = 49152
+    E_CHUNK = e_chunk
     # 3-D distributions are concentrated (the reference's 3-D galaxy
     # occupies ~100 of 4096 L4 cells), so per-tile entry counts run ~2.5x
     # the 2-D case -- budget accordingly (measured: 787k entries at

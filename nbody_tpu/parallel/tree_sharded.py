@@ -65,7 +65,10 @@ def make_sharded_bvh_force(cfg: SimConfig, n_shards: int,
     if mesh is None:
         mesh = body_mesh(n_shards)
     from nbody_tpu.ops.bvh import build_tree
-    from nbody_tpu.ops.bvh_group import compute_force_grouped
+    from nbody_tpu.ops.bvh_group import (
+        compute_force_grouped,
+        compute_force_grouped_windowed,
+    )
 
     theta, G, eps = float(cfg.theta), float(cfg.G), cfg.eps
 
@@ -78,10 +81,17 @@ def make_sharded_bvh_force(cfg: SimConfig, n_shards: int,
         def shard_fn(m_all, x_all):
             tree = build_tree(m_all, x_all, eps)
             idx = jax.lax.axis_index(BODY_AXIS)
-            a_loc, _ = compute_force_grouped(
-                tree, m_all, x_all, theta, G, eps, tile=tile,
-                row_start=idx * nrows, nrows=nrows, use_pallas=use_pallas,
-            )
+            if use_pallas:
+                a_loc, _ = compute_force_grouped_windowed(
+                    tree, m_all, x_all, theta, G, eps, tile=tile,
+                    row_start=idx * nrows, nrows=nrows,
+                    interpret=(use_pallas == "interpret"),
+                )
+            else:
+                a_loc, _ = compute_force_grouped(
+                    tree, m_all, x_all, theta, G, eps, tile=tile,
+                    row_start=idx * nrows, nrows=nrows,
+                )
             return jax.lax.all_gather(a_loc, BODY_AXIS, tiled=True)
 
         mapped = _shard_map(
@@ -98,7 +108,10 @@ def make_sharded_bvh_step(cfg: SimConfig, opts):
     """Full --mesh N BVH step: global Hilbert sort + leapfrog around the
     sharded force.  Returns jitted (state, k) -> (state, aux)."""
     from nbody_tpu.ops.bvh import build_tree
-    from nbody_tpu.ops.bvh_group import compute_force_grouped
+    from nbody_tpu.ops.bvh_group import (
+        compute_force_grouped,
+        compute_force_grouped_windowed,
+    )
     from nbody_tpu.ops.geometry import aabb_of_points
     from nbody_tpu.ops.hilbert import hilbert_sort_perm
     from nbody_tpu.ops.integrator import leapfrog_step
@@ -114,10 +127,17 @@ def make_sharded_bvh_step(cfg: SimConfig, opts):
         tree = build_tree(m_all, x_all, eps)
         idx = jax.lax.axis_index(BODY_AXIS)
         nrows = x_all.shape[0] // n_shards
-        a_loc, info = compute_force_grouped(
-            tree, m_all, x_all, theta, G, eps, tile=tile,
-            row_start=idx * nrows, nrows=nrows, use_pallas=upal,
-        )
+        if upal:
+            a_loc, info = compute_force_grouped_windowed(
+                tree, m_all, x_all, theta, G, eps, tile=tile,
+                row_start=idx * nrows, nrows=nrows,
+                interpret=(upal == "interpret"),
+            )
+        else:
+            a_loc, info = compute_force_grouped(
+                tree, m_all, x_all, theta, G, eps, tile=tile,
+                row_start=idx * nrows, nrows=nrows,
+            )
         a_all = jax.lax.all_gather(a_loc, BODY_AXIS, tiled=True)
         over = jax.lax.psum(info["node_overflow"].astype(jnp.int32),
                             BODY_AXIS)

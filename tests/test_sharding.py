@@ -186,3 +186,28 @@ def test_sharded_bvh_matches_local(n, f32_eps):
     a_loc = np.asarray(a_loc)
     scale = np.abs(a_loc).max() + 1e-30
     assert np.abs(a_sh - a_loc).max() / scale < 1e-5
+
+
+@pytest.mark.parametrize("n", [64, 700])
+def test_sharded_windowed_bvh_matches_local(n, f32_eps):
+    """Row-sharded WINDOWED (gather-free) BVH == single-device windowed
+    path on sorted bodies (interpret mode on the 8-device CPU mesh)."""
+    from nbody_tpu.ops.bvh import build_tree
+    from nbody_tpu.ops.bvh_group import compute_force_grouped_windowed
+    from nbody_tpu.ops.geometry import aabb_of_points
+    from nbody_tpu.ops.hilbert import hilbert_sort_perm
+    from nbody_tpu.parallel.tree_sharded import make_sharded_bvh_force
+
+    m, x = _sys(n, 2, seed=3)
+    xmin, xmax = aabb_of_points(x, f32_eps)
+    perm = hilbert_sort_perm(x, xmin, xmax)
+    m, x = m[perm], x[perm]
+    cfg = SimConfig(n=n, dim=2, dtype=np.float32, G=1.0, theta=0.5)
+    sharded = make_sharded_bvh_force(cfg, 8, use_pallas="interpret")
+    a_sh = np.asarray(jax.jit(sharded)(m, x))
+    tree = build_tree(m, x, f32_eps)
+    a_loc, _ = compute_force_grouped_windowed(tree, m, x, 0.5, 1.0, f32_eps,
+                                              interpret=True)
+    a_loc = np.asarray(a_loc)
+    scale = np.abs(a_loc).max() + 1e-30
+    assert np.abs(a_sh - a_loc).max() / scale < 1e-5

@@ -445,3 +445,38 @@ def test_octree_fast_theta0_exact(dim, f32_eps):
     a_ref = jnp.einsum("ij,ijd->id", w, d)
     scale = float(jnp.max(jnp.abs(a_ref))) + 1e-30
     assert float(jnp.max(jnp.abs(out.a - a_ref))) / scale < 2e-5
+
+
+def test_fast_paths_chunked_entries_match_single_chunk(f32_eps):
+    """Entry lists spanning chunk boundaries must sum identically to the
+    single-chunk evaluation (partial per-chunk outputs + aliased zero
+    init)."""
+    from nbody_tpu.ops.bvh import build_tree
+    from nbody_tpu.ops.bvh_group import compute_force_grouped_windowed
+    from nbody_tpu.ops.geometry import aabb_of_points, scalar_bounds
+    from nbody_tpu.ops.hilbert import hilbert_sort_perm
+    from nbody_tpu.ops.octree import max_depth, morton_keys
+    from nbody_tpu.ops.octree_group import compute_force_grouped_fast
+
+    m, x = _system(700, 2, clustered=True, seed=21)
+    xmin, xmax = aabb_of_points(x, f32_eps)
+    perm = hilbert_sort_perm(x, xmin, xmax)
+    ms, xs = m[perm], x[perm]
+    tree = build_tree(ms, xs, f32_eps)
+    a1, _ = compute_force_grouped_windowed(tree, ms, xs, 0.5, 1.0, f32_eps,
+                                           interpret=True)
+    a2, _ = compute_force_grouped_windowed(tree, ms, xs, 0.5, 1.0, f32_eps,
+                                           interpret=True, e_chunk=16)
+    np.testing.assert_array_equal(np.asarray(a1), np.asarray(a2))
+
+    depth = max_depth(700, 2)
+    lo, hi = scalar_bounds(x)
+    keys = morton_keys(x, lo, hi, depth)
+    p2 = jnp.argsort(keys)
+    ms2, xs2, ks2 = m[p2], x[p2], keys[p2]
+    b1, _ = compute_force_grouped_fast(ms2, xs2, ks2, lo, hi, depth, 0.5,
+                                       1.0, f32_eps, interpret=True)
+    b2, _ = compute_force_grouped_fast(ms2, xs2, ks2, lo, hi, depth, 0.5,
+                                       1.0, f32_eps, interpret=True,
+                                       e_chunk=16)
+    np.testing.assert_array_equal(np.asarray(b1), np.asarray(b2))
