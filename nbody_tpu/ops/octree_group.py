@@ -383,7 +383,7 @@ def compute_force_grouped(
 @partial(
     jax.jit,
     static_argnames=("depth", "theta", "G", "eps", "tile", "interpret",
-                     "e_chunk"),
+                     "e_chunk", "nrows"),
 )
 def compute_force_grouped_fast(
     ms: jnp.ndarray,
@@ -398,6 +398,8 @@ def compute_force_grouped_fast(
     tile: int = 512,
     interpret: bool = False,
     e_chunk: int = 49152,
+    row_start=None,
+    nrows: int | None = None,
 ):
     """Gather-free grouped octree force (fp32 TPU fast path).
 
@@ -444,12 +446,26 @@ def compute_force_grouped_fast(
     Gv = jnp.asarray(G, dtype)
     root_side = hi - lo
 
-    ntiles = -(-n // tile)
-    npad = ntiles * tile
-    xp = jnp.pad(xs, ((0, npad - n), (0, 0)))
-    mp = jnp.pad(ms, (0, npad - n))
+    # shard-local rows (multi-chip: contiguous row range vs the full
+    # replicated heap/run table; see parallel/tree_sharded.py)
+    ntiles_g = -(-n // tile)
+    npad_g = ntiles_g * tile
+    xp_g = jnp.pad(xs, ((0, npad_g - n), (0, 0)))
+    mp_g = jnp.pad(ms, (0, npad_g - n))
+    if nrows is None:
+        ntiles = ntiles_g
+        npad = npad_g
+        row0 = jnp.zeros((), jnp.int32)
+        xp = xp_g
+    else:
+        if nrows % tile != 0:
+            raise ValueError("nrows must be divisible by tile")
+        ntiles = nrows // tile
+        npad = nrows
+        row0 = jnp.asarray(row_start, jnp.int32)
+        xp = jax.lax.dynamic_slice_in_dim(xp_g, row0, nrows, axis=0)
     xt = xp.reshape(ntiles, tile, dim)
-    validb = (jnp.arange(npad) < n).reshape(ntiles, tile)
+    validb = (row0 + jnp.arange(npad) < n).reshape(ntiles, tile)
     xt_real = jnp.where(validb[:, :, None], xt, xt[:, :1, :])
     tmin = jnp.min(xt_real, axis=1)
     tmax = jnp.max(xt_real, axis=1)
@@ -466,11 +482,11 @@ def compute_force_grouped_fast(
     while (1 << (dim * level_star)) * 256 < npad * occ and level_star < depth:
         level_star += 1
     S = 256
-    while npad // S > 16384:
+    while npad_g // S > 16384:
         S *= 2
     # the packed-entry gbe field is 16 bits: clamp L* so the run table
-    # (C cells + npad/S blocks + 1 pad row) stays addressable
-    while (1 << (dim * level_star)) + npad // S + 1 > (1 << 16) \
+    # (C cells + npad_g/S blocks + 1 pad row) stays addressable
+    while (1 << (dim * level_star)) + npad_g // S + 1 > (1 << 16) \
             and level_star > 1:
         level_star -= 1
     C = 1 << (dim * level_star)
@@ -533,11 +549,11 @@ def compute_force_grouped_fast(
     )
 
     # ---- global (cell, block) run table -------------------------------
-    nblocks = npad // S
-    bidx = jnp.arange(npad, dtype=jnp.int32)
+    nblocks = npad_g // S
+    bidx = jnp.arange(npad_g, dtype=jnp.int32)
     blockid = bidx // S
     cell_pad = jnp.concatenate(
-        [cellid, jnp.full((npad - n,), C, jnp.int32)]     # pads: dead cell C
+        [cellid, jnp.full((npad_g - n,), C, jnp.int32)]   # pads: dead cell C
     )
     pairkey = cell_pad * nblocks + blockid
     is_real = bidx < n
@@ -604,7 +620,7 @@ def compute_force_grouped_fast(
     tile_over = (ent_count > R_slice) | (end_rank > E_cap)
 
     near = entries_tables_eval_pallas(
-        xp.reshape(npad, dim), mp, xp.T,
+        xp.reshape(npad, dim), mp_g, xp_g.T,
         entries.reshape(-1, E_CHUNK), gbe_blk, lohi_tbl,
         float(eps), S=S, tb=tile, interpret=interpret, softening="sqrt3",
     )
@@ -644,4 +660,5 @@ def compute_force_grouped_fast(
         "node_overflow": jnp.zeros((), jnp.int32),
         "leaf_overflow": jnp.zeros((), jnp.int32),
     }
-    return Gv * acc[:n], info
+    out_rows = n if nrows is None else nrows
+    return Gv * acc[:out_rows], info

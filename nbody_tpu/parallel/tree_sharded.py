@@ -179,8 +179,11 @@ def make_sharded_octree_step(cfg: SimConfig, opts):
     prefix-tree build, row-sharded group evaluation, scatter back."""
     from nbody_tpu.ops.geometry import scalar_bounds
     from nbody_tpu.ops.integrator import leapfrog_step
-    from nbody_tpu.ops.octree import build_octree, max_depth
-    from nbody_tpu.ops.octree_group import compute_force_grouped
+    from nbody_tpu.ops.octree import build_octree, max_depth, morton_keys
+    from nbody_tpu.ops.octree_group import (
+        compute_force_grouped,
+        compute_force_grouped_fast,
+    )
 
     n_shards = opts.mesh
     tile = opts.group_tile
@@ -196,12 +199,31 @@ def make_sharded_octree_step(cfg: SimConfig, opts):
         # rebuild is pure segmented reductions)
         idx = jax.lax.axis_index(BODY_AXIS)
         nrows = xs_all.shape[0] // n_shards
+        if upal:
+            ks_all = morton_keys(xs_all, side[0], side[1], depth)
+            a_loc, info = compute_force_grouped_fast(
+                ms_all, xs_all, ks_all, side[0], side[1], depth,
+                theta, G, eps, tile=tile,
+                row_start=idx * nrows, nrows=nrows,
+                interpret=(upal == "interpret"),
+            )
+            levels = None
+            tree_size_l = jnp.ones((), jnp.int32)
+            dimv = xs_all.shape[1]
+            for l in range(1, depth + 1):
+                pre = ks_all >> jnp.uint32((depth - l) * dimv)
+                tree_size_l = tree_size_l + 1 + jnp.sum(
+                    (pre[1:] != pre[:-1]).astype(jnp.int32))
+            a_all = jax.lax.all_gather(a_loc, BODY_AXIS, tiled=True)
+            over = jax.lax.psum(info["node_overflow"].astype(jnp.int32),
+                                BODY_AXIS)
+            return a_all, over, tree_size_l, jnp.sum(ms_all)
         levels, _, ms2, xs2 = build_octree(
             ms_all, xs_all, side[0], side[1], depth
         )
         a_loc, info = compute_force_grouped(
             levels, ms2, xs2, side[1] - side[0], theta, G, eps, tile=tile,
-            row_start=idx * nrows, nrows=nrows, use_pallas=upal,
+            row_start=idx * nrows, nrows=nrows,
         )
         a_all = jax.lax.all_gather(a_loc, BODY_AXIS, tiled=True)
         over = jax.lax.psum(info["node_overflow"].astype(jnp.int32),
@@ -219,9 +241,16 @@ def make_sharded_octree_step(cfg: SimConfig, opts):
     def step(state: SystemState, k):
         n, dim = state.x.shape
         lo, hi = scalar_bounds(state.x)
-        # global Morton sort once; shards rebuild the tree segmented-only
-        levels, perm, ms, xs = build_octree(state.m, state.x, lo, hi, depth)
-        del levels
+        if upal:
+            # fast path needs only the sorted order, not the level build
+            perm = jnp.argsort(morton_keys(state.x, lo, hi, depth))
+            ms, xs = state.m[perm], state.x[perm]
+        else:
+            # global Morton sort once; shards rebuild segmented-only
+            levels, perm, ms, xs = build_octree(
+                state.m, state.x, lo, hi, depth
+            )
+            del levels
         npad = _round_up(n, n_shards * tile)
         mp, xp = _pad_bodies(ms, xs, npad)
         a_all, over, tree_size, root_mass = mapped(

@@ -211,3 +211,44 @@ def test_sharded_windowed_bvh_matches_local(n, f32_eps):
     a_loc = np.asarray(a_loc)
     scale = np.abs(a_loc).max() + 1e-30
     assert np.abs(a_sh - a_loc).max() / scale < 1e-5
+
+
+def test_sharded_octree_fast_matches_local(f32_eps):
+    """Row-sharded octree FAST path == single-device fast path on
+    Morton-sorted bodies (interpret mode, 8-device CPU mesh)."""
+    import dataclasses as _dc
+
+    from nbody_tpu.ops.geometry import scalar_bounds
+    from nbody_tpu.ops.octree import max_depth, morton_keys, octree_step_force
+    from nbody_tpu.sim.engines import EngineOptions
+    from nbody_tpu.state import SystemState
+
+    n = 700
+    m, x = _sys(n, 2, seed=5)
+    st = SystemState(m=m, x=x, v=jnp.zeros_like(x), a=jnp.zeros_like(x),
+                     ao=jnp.zeros_like(x))
+    depth = max_depth(n, 2)
+    out_loc, _, _ = octree_step_force(st, 0.5, 1.0, f32_eps, depth,
+                                      use_pallas="interpret")
+
+    from nbody_tpu.config import SimConfig
+    from nbody_tpu.parallel.tree_sharded import make_sharded_octree_step
+    import nbody_tpu.sim.tree_engines as te
+
+    cfg = SimConfig(n=n, dim=2, dtype=np.float32, G=1.0, theta=0.5,
+                    dt=1e-3)
+    opts = EngineOptions(mesh=8)
+    orig = te._use_pallas_eval
+    te._use_pallas_eval = lambda *a, **k: "interpret"
+    try:
+        step = make_sharded_octree_step(cfg, opts)
+        out_sh, aux = step(st, 0)
+    finally:
+        te._use_pallas_eval = orig
+    # compare accelerations implied by leapfrog: out_sh already integrated;
+    # instead compare the stored new accel field ao after leapfrog? simpler:
+    # leapfrog of the local forces
+    from nbody_tpu.ops.integrator import leapfrog_step
+    out_loc2 = leapfrog_step(out_loc, cfg.dt)
+    scale = float(jnp.max(jnp.abs(out_loc2.x))) + 1e-30
+    assert float(jnp.max(jnp.abs(out_sh.x - out_loc2.x))) / scale < 1e-5
