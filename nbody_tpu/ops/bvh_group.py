@@ -605,7 +605,10 @@ def compute_force_grouped_windowed(
     per_tile_est = 40 if dim == 2 else 240
     n_chunks = max(1, min(10, -(-(ntiles * per_tile_est + ntiles) // E_CHUNK)))
     E_cap = min(ntiles * (R_slice + 1), n_chunks * E_CHUNK)
-    E_cap = -(-E_cap // E_CHUNK) * E_CHUNK
+    if E_cap > E_CHUNK:          # chunked: round up to whole chunks
+        E_cap = -(-E_cap // E_CHUNK) * E_CHUNK
+    else:                        # small runs: one exact-size chunk
+        E_CHUNK = E_cap
     pad_entry = ((ntiles - 1) << 16) | pad_gbe
     entries = jnp.full((E_cap,), pad_entry, jnp.int32).at[
         jnp.where(flat_v, rank, E_cap)

@@ -351,11 +351,24 @@ def octree_step_force(state: SystemState, theta: float, G: float, eps: float,
         # the per-level count of distinct sorted-key prefixes
         from nbody_tpu.ops.octree_group import compute_force_grouped_fast
 
-        keys = morton_keys(state.x, lo, hi, depth)
+        # ROBUST quantization box: the min/max box balloons when escaper
+        # bodies fly out (dt=10 galaxy: 13x after 10 steps), collapsing
+        # the core into a few cells and blowing the entry caps. The fast
+        # path quantizes over a quantile box (morton_keys clamps
+        # outliers into edge cells) and its MAC uses true per-cell
+        # extents, so acceptance stays conservative regardless.
+        stride = max(1, state.x.shape[0] // 16384)
+        xs_sub = state.x[::stride]
+        qlo = jnp.quantile(xs_sub, 0.005, axis=0)
+        qhi = jnp.quantile(xs_sub, 0.995, axis=0)
+        span = jnp.max(qhi - qlo)
+        lo_r = jnp.min(qlo) - 0.15 * span - 1.0
+        hi_r = jnp.max(qhi) + 0.15 * span + 1.0
+        keys = morton_keys(state.x, lo_r, hi_r, depth)
         perm = jnp.argsort(keys)
         ms, xs, ks = state.m[perm], state.x[perm], keys[perm]
         a_sorted, info = compute_force_grouped_fast(
-            ms, xs, ks, lo, hi, depth, theta, G, eps, tile=group_tile,
+            ms, xs, ks, lo_r, hi_r, depth, theta, G, eps, tile=group_tile,
             interpret=(use_pallas == "interpret"),
         )
         tree_size = jnp.ones((), jnp.int32)              # root

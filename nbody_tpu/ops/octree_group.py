@@ -498,14 +498,26 @@ def compute_force_grouped_fast(
     counts_L = jnp.zeros((C,), jnp.int32).at[cellid].add(ones)
     m_L = jnp.zeros((C,), dtype).at[cellid].add(ms)
     mx_L = jnp.zeros((C, dim), dtype).at[cellid].add(ms[:, None] * xs)
+    # true per-cell coordinate extents: the quantization box may be a
+    # ROBUST (quantile) box, with outliers clamped into edge cells -- the
+    # MAC must then use the cells' ACTUAL spread, not the nominal side
+    # (otherwise an escaper-contaminated edge cell would be accepted as
+    # if it were side-sized)
+    big = jnp.asarray(3.4e38, dtype)
+    cmin_L = jnp.full((C, dim), big, dtype).at[cellid].min(xs)
+    cmax_L = jnp.full((C, dim), -big, dtype).at[cellid].max(xs)
 
     level_mass = [m_L]
     level_cnt = [counts_L]
     level_mx = [mx_L]
+    level_cmin = [cmin_L]
+    level_cmax = [cmax_L]
     for l in range(level_star - 1, -1, -1):
         level_mass.insert(0, level_mass[0].reshape(-1, nbranch).sum(1))
         level_cnt.insert(0, level_cnt[0].reshape(-1, nbranch).sum(1))
         level_mx.insert(0, level_mx[0].reshape(-1, nbranch, dim).sum(1))
+        level_cmin.insert(0, level_cmin[0].reshape(-1, nbranch, dim).min(1))
+        level_cmax.insert(0, level_cmax[0].reshape(-1, nbranch, dim).max(1))
 
     heap_mass, heap_com, heap_cnt = [], [], []
     for l in range(level_star + 1):
@@ -530,8 +542,11 @@ def compute_force_grouped_fast(
         dmin_v = jnp.maximum(dmin_v, com - tmax[:, None, :])
         dmin2 = jnp.sum(dmin_v * dmin_v, axis=-1)
         side = root_side / jnp.asarray(float(1 << l), dtype)
+        width = jnp.max(level_cmax[l] - level_cmin[l], axis=-1)
+        weff = jnp.maximum(side, jnp.where(heap_cnt[l] > 0, width, 0.0))
+        weff = weff[None, :]
         single = (heap_cnt[l] == 1)[None, :]
-        mac = (side * side < theta2 * dmin2) | single
+        mac = (weff * weff < theta2 * dmin2) | single
         accept = open_mask & alive & mac
         open_ = open_mask & alive & ~mac
         accept_masks.append(accept)
@@ -610,7 +625,10 @@ def compute_force_grouped_fast(
     per_tile_est = 180 if dim == 2 else 440
     n_chunks = max(1, min(16, -(-(ntiles * per_tile_est + ntiles) // E_CHUNK)))
     E_cap = min(ntiles * (R_slice + 1), n_chunks * E_CHUNK)
-    E_cap = -(-E_cap // E_CHUNK) * E_CHUNK
+    if E_cap > E_CHUNK:          # chunked: round up to whole chunks
+        E_cap = -(-E_cap // E_CHUNK) * E_CHUNK
+    else:                        # small runs: one exact-size chunk
+        E_CHUNK = E_cap
     pad_entry = ((ntiles - 1) << 16) | pad_gbe
     entries = jnp.full((E_cap,), pad_entry, jnp.int32).at[
         jnp.where(flat_v, frank, E_cap)

@@ -242,7 +242,15 @@ def make_sharded_octree_step(cfg: SimConfig, opts):
         n, dim = state.x.shape
         lo, hi = scalar_bounds(state.x)
         if upal:
-            # fast path needs only the sorted order, not the level build
+            # fast path needs only the sorted order, not the level build;
+            # robust quantization box (see octree_step_force)
+            stride = max(1, state.x.shape[0] // 16384)
+            xs_sub = state.x[::stride]
+            qlo = jnp.quantile(xs_sub, 0.005, axis=0)
+            qhi = jnp.quantile(xs_sub, 0.995, axis=0)
+            span = jnp.max(qhi - qlo)
+            lo = jnp.min(qlo) - 0.15 * span - 1.0
+            hi = jnp.max(qhi) + 0.15 * span + 1.0
             perm = jnp.argsort(morton_keys(state.x, lo, hi, depth))
             ms, xs = state.m[perm], state.x[perm]
         else:

@@ -480,3 +480,26 @@ def test_fast_paths_chunked_entries_match_single_chunk(f32_eps):
                                        1.0, f32_eps, interpret=True,
                                        e_chunk=16)
     np.testing.assert_array_equal(np.asarray(b1), np.asarray(b2))
+
+
+def test_octree_fast_robust_to_escapers(f32_eps):
+    """Escaper bodies far outside the core must not degrade the fast
+    path: the robust quantile quantization box keeps the core resolved
+    (outliers clamp into edge cells whose TRUE extents drive the MAC),
+    and forces stay correct."""
+    from nbody_tpu.ops.octree import max_depth, octree_step_force
+
+    rng = np.random.default_rng(33)
+    n = 2000
+    x = rng.normal(0, 50.0, (n, 2)).astype(np.float32)
+    x[:20] = rng.uniform(1500, 2000, (20, 2)).astype(np.float32)  # escapers
+    m = rng.uniform(0.1, 1.0, n).astype(np.float32)
+    st = _state(jnp.asarray(m), jnp.asarray(x))
+    depth = max_depth(n, 2)
+    out, _, _ = octree_step_force(st, 0.5, 1.0, f32_eps, depth,
+                                  use_pallas="interpret")
+    a_ref = _allpairs_octree_softening(jnp.asarray(m), jnp.asarray(x),
+                                       1.0, f32_eps)
+    num = float(jnp.linalg.norm(out.a - a_ref))
+    den = float(jnp.linalg.norm(a_ref)) + 1e-30
+    assert num / den < 0.02, num / den
