@@ -28,6 +28,20 @@ List overflow: lists are statically capped; entries past the cap are
 dropped and the overflow is reported in the returned info (a dropped entry
 means missing force, so the engine sizes caps generously and tests pin
 real workloads well under the cap).
+
+Two implementations share this module:
+
+  compute_force_grouped           per-tile interaction LISTS (sort-based
+                                  compaction).  Backs f64/CPU runs and
+                                  remains the faithful level-synchronous
+                                  formulation.
+  compute_force_grouped_windowed  the TPU fp32 production path: GATHER-
+                                  FREE masked far field + windowed /
+                                  entry-list exact near field (v5e row
+                                  gathers run ~56M elem/s, so any
+                                  list-gathering design is gather-bound;
+                                  this one took the n=1M step from 13 s
+                                  to 0.29 s).  See its docstring.
 """
 
 from __future__ import annotations

@@ -27,6 +27,13 @@ Traversal structure (see bvh_group for the rationale):
     max-depth cells) are re-evaluated exactly against all bodies.
 """
 
+# Two implementations share this module: compute_force_grouped (per-tile
+# interaction lists; f64/CPU and the faithful formulation) and
+# compute_force_grouped_fast (TPU fp32 production path: dense Morton-
+# prefix heap + masked far field + exact body-block near field -- see its
+# docstring; n=1M step 13 s -> 0.6 s).
+
+
 from __future__ import annotations
 
 from functools import partial

@@ -22,7 +22,6 @@ force-invisible).
 from __future__ import annotations
 
 import dataclasses
-import functools
 
 import jax
 import jax.numpy as jnp
