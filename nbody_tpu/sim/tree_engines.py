@@ -116,15 +116,27 @@ class BVHEngine:
 
         build_fn = jax.jit(lambda m, x: build_tree(m, x, eps))
         if opts.traversal == "group":
-            from nbody_tpu.ops.bvh_group import compute_force_grouped
+            from nbody_tpu.ops.bvh_group import (
+                compute_force_grouped,
+                compute_force_grouped_windowed,
+            )
 
             upal = _use_pallas_eval(cfg, opts)
-            force_fn = jax.jit(
-                lambda tree, m, x: compute_force_grouped(
-                    tree, m, x, theta, G, eps, tile=opts.group_tile,
-                    use_pallas=upal,
+            if upal:
+                # the windowed fast path is a drop-in "force approx"
+                # phase: build/sort/bbox stay separately timed above it
+                force_fn = jax.jit(
+                    lambda tree, m, x: compute_force_grouped_windowed(
+                        tree, m, x, theta, G, eps, tile=opts.group_tile,
+                        interpret=(upal == "interpret"),
+                    )
                 )
-            )
+            else:
+                force_fn = jax.jit(
+                    lambda tree, m, x: compute_force_grouped(
+                        tree, m, x, theta, G, eps, tile=opts.group_tile,
+                    )
+                )
         else:
             force_fn = jax.jit(
                 lambda tree, m, x: (
