@@ -18,10 +18,12 @@ from __future__ import annotations
 import argparse
 import csv
 import io
+import os
 import platform
-import subprocess
 import sys
 import time
+
+sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
 
 HEADERS = "algorithm,dim,precision,nsteps,nbodies,total [s]"
 
