@@ -362,8 +362,11 @@ def octree_step_force(state: SystemState, theta: float, G: float, eps: float,
         qlo = jnp.quantile(xs_sub, 0.005, axis=0)
         qhi = jnp.quantile(xs_sub, 0.995, axis=0)
         span = jnp.max(qhi - qlo)
-        lo_r = jnp.min(qlo) - 0.15 * span - 1.0
-        hi_r = jnp.max(qhi) + 0.15 * span + 1.0
+        # never larger than the true min/max box (heavy-tailed
+        # distributions have quantile boxes ~= the full box, and the
+        # margin would then just coarsen every cell)
+        lo_r = jnp.maximum(jnp.min(qlo) - 0.15 * span, lo) - 1.0
+        hi_r = jnp.minimum(jnp.max(qhi) + 0.15 * span, hi) + 1.0
         keys = morton_keys(state.x, lo_r, hi_r, depth)
         perm = jnp.argsort(keys)
         ms, xs, ks = state.m[perm], state.x[perm], keys[perm]

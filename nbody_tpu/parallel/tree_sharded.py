@@ -247,9 +247,13 @@ def make_sharded_octree_step(cfg: SimConfig, opts):
             xs_sub = state.x[::stride]
             qlo = jnp.quantile(xs_sub, 0.005, axis=0)
             qhi = jnp.quantile(xs_sub, 0.995, axis=0)
+            lo_t, hi_t = lo, hi
             span = jnp.max(qhi - qlo)
-            lo = jnp.min(qlo) - 0.15 * span - 1.0
-            hi = jnp.max(qhi) + 0.15 * span + 1.0
+            # never larger than the true min/max box (heavy-tailed
+            # distributions have quantile boxes ~= the full box, and the
+            # margin would then just coarsen every cell)
+            lo = jnp.maximum(jnp.min(qlo) - 0.15 * span, lo_t) - 1.0
+            hi = jnp.minimum(jnp.max(qhi) + 0.15 * span, hi_t) + 1.0
             perm = jnp.argsort(morton_keys(state.x, lo, hi, depth))
             ms, xs = state.m[perm], state.x[perm]
         else:
