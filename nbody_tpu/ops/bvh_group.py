@@ -414,7 +414,7 @@ def _finish_grouped(acc, xt, tile_over, ncount, lcount, ncnt, lcnt, m, x, n,
 @partial(
     jax.jit,
     static_argnames=("theta", "G", "eps", "tile", "window_tiles",
-                     "interpret", "e_chunk", "nrows"),
+                     "interpret", "e_chunk", "nrows", "s_target"),
 )
 def compute_force_grouped_windowed(
     tree: BVHTree,
@@ -429,6 +429,7 @@ def compute_force_grouped_windowed(
     e_chunk: int = 49152,
     row_start=None,
     nrows: int | None = None,
+    s_target: int = 256,
 ):
     """Gather-free grouped BVH force (fp32 TPU fast path).
 
@@ -503,8 +504,8 @@ def compute_force_grouped_windowed(
     tmax = jnp.max(xt_real, axis=1)
     tile0 = row0 // tile                       # global index of tile 0
 
-    # L*: node covers S = 2^(nlevels - L*) bodies; want S = min(256, tile)
-    S_target = min(256, tile)
+    # L*: node covers S = 2^(nlevels - L*) bodies
+    S_target = min(s_target, tile)
     level_star = max(0, nlevels - S_target.bit_length() + 1 - 1)
     # ensure S <= tile so tile boundaries align with node boundaries
     S = 1 << (nlevels - level_star)
