@@ -37,7 +37,7 @@ VPU_PEAK_OPS = 8 * 128 * 4 * 1.74e9
 SLOTS_PER_PAIR = {2: 12, 3: 15}
 
 
-def measure_dim(dim: int) -> dict:
+def measure_dim(dim: int, fast: bool = False) -> dict:
     import jax
     import jax.numpy as jnp
     from functools import partial
@@ -65,7 +65,7 @@ def measure_dim(dim: int) -> dict:
     def loop(m, x, iters):
         def body(c, _):
             if use_pallas:
-                a = allpairs_accel_pallas(m, c, 1.0, eps)
+                a = allpairs_accel_pallas(m, c, 1.0, eps, fast=fast)
             else:
                 a = allpairs_accel(m, c, 1.0, eps, chunk=4096)
             return c + jnp.asarray(1e-12, c.dtype) * a, None
@@ -85,19 +85,26 @@ def measure_dim(dim: int) -> dict:
     }
 
 
-def measure_tree(algorithm: str) -> float:
+def measure_tree(algorithm: str, evolve_steps: int = 0, dim: int = 2) -> float:
     """Seconds per full Barnes-Hut step (sort + build + traversal + force
-    + integrate) at N=1M, 2-D galaxy, theta=0.5 fp32 -- the reference's
+    + integrate) at N=1M galaxy, theta=0.5 fp32 -- the reference's
     'GPU large' benchmark config (ci/benchmark:78-99) in the headline
     2-D precision.  Uses the production engine step (gather-free grouped
-    fast path on TPU)."""
+    fast path on TPU).
+
+    evolve_steps > 0 pre-rolls the state before timing (VERDICT round-2
+    item 7): tree cost is state-dependent -- escaper bodies balloon the
+    bounding box and shift the Hilbert/Morton cell occupancy, and a
+    fresh-state-only number missed a 5.5 s/step evolved-state regression
+    in round 2.  The pre-roll runs in <=16-step dispatches to stay under
+    the tunnel's per-call device-time budget."""
     import jax
 
     from nbody_tpu.models import build_galaxy_model
     from nbody_tpu.sim.engines import EngineOptions, get_engine
     from nbody_tpu.utils.measure import scan_seconds_per_step
 
-    cfg, state = build_galaxy_model(1_000_000, 2, np.float32)
+    cfg, state = build_galaxy_model(1_000_000, dim, np.float32)
     step = get_engine(algorithm).make_step(cfg, EngineOptions())
 
     from functools import partial
@@ -112,15 +119,45 @@ def measure_tree(algorithm: str) -> float:
 
         return jax.lax.scan(body, state, jnp.arange(iters))[0].x
 
+    @partial(jax.jit, static_argnames=("iters",))
+    def evolve(state, iters):
+        def body(s, k):
+            s2, _ = step(s, k)
+            return s2, None
+
+        import jax.numpy as jnp
+
+        return jax.lax.scan(body, state, jnp.arange(iters))[0]
+
+    done = 0
+    while done < evolve_steps:
+        chunk = min(16, evolve_steps - done)
+        state = evolve(state, chunk)
+        done += chunk
+    if evolve_steps:
+        from nbody_tpu.utils.timing import sync
+
+        sync(state)
+
     return scan_seconds_per_step(loop, (state,), iters_short=1, iters_long=4,
                                  repeats=2)
 
 
 def main() -> int:
     r3 = measure_dim(3)
+    r3f = measure_dim(3, fast=True)
     r2 = measure_dim(2)
-    bvh_dt = measure_tree("bvh")
-    oct_dt = measure_tree("octree")
+    tree = {}
+    for algo in ("bvh", "octree"):
+        for dim in (2, 3):
+            tree[f"{algo}_1m_{dim}d_sec_per_step"] = measure_tree(
+                algo, dim=dim
+            )
+        # evolved state (50 pre-roll steps): catches state-dependent
+        # regressions the fresh number is blind to (VERDICT item 7)
+        tree[f"{algo}_1m_2d_evolved_sec_per_step"] = measure_tree(
+            algo, evolve_steps=50
+        )
     print(
         json.dumps(
             {
@@ -132,10 +169,12 @@ def main() -> int:
                 "sec_per_step_3d": r3["sec_per_step"],
                 "dim2_int_per_s": r2["int_per_s"],
                 "sec_per_step_2d": r2["sec_per_step"],
+                # fast variant: adaptive per-tile unsoftened rsqrt^3 chain,
+                # bounded <=1e-6 relative force error (pallas_allpairs.py)
+                "fast_variant_int_per_s_3d": r3f["int_per_s"],
                 "vpu_slot_utilization_3d": r3["vpu_slot_utilization"],
                 "vpu_slot_utilization_2d": r2["vpu_slot_utilization"],
-                "bvh_1m_2d_sec_per_step": bvh_dt,
-                "octree_1m_2d_sec_per_step": oct_dt,
+                **tree,
             }
         )
     )

@@ -39,6 +39,8 @@ _HELP = """Help:
 --sort-every K\t\tRe-sort bodies every K steps in tree engines (default 1)
 --traversal group|per-body\t\tTree traversal strategy (default group)
 --group-tile N\t\tBodies per tile in group traversal (default 512)
+--refine-levels N\t\tBVH residual refinement depth (default auto)
+--window-tiles N\t\tBVH near-field window width in tiles (default 32)
 --save-state file.bin\t\tWrite final state in the loadable format
 --profile DIR\t\tCapture a jax.profiler trace of the run into DIR
 --help\t\tDisplay this help message and quit
@@ -73,6 +75,8 @@ def parse_args(argv: list[str]) -> dict:
         "sort_every": 1,
         "traversal": "group",
         "group_tile": 512,
+        "refine": -1,
+        "window_tiles": 32,
         "save_state": None,
         "profile": None,
     }
@@ -175,6 +179,12 @@ def parse_args(argv: list[str]) -> dict:
         elif flag == "--group-tile":
             i += 1
             args["group_tile"] = int(argv[i])
+        elif flag == "--refine-levels":
+            i += 1
+            args["refine"] = int(argv[i])
+        elif flag == "--window-tiles":
+            i += 1
+            args["window_tiles"] = int(argv[i])
         elif flag == "--save-state":
             i += 1
             args["save_state"] = argv[i]
@@ -252,6 +262,8 @@ def main(argv: list[str] | None = None, out=None) -> int:
             sort_every=args["sort_every"],
             traversal=args["traversal"],
             group_tile=args["group_tile"],
+            refine=args["refine"],
+            window_tiles=args["window_tiles"],
         ),
         out=out,
     )

@@ -211,10 +211,12 @@ def compute_force(tree: BVHTree, m: jnp.ndarray, x: jnp.ndarray,
 
 
 @partial(jax.jit, static_argnames=("theta", "G", "eps", "resort", "traversal",
-                                   "group_tile", "use_pallas"))
+                                   "group_tile", "use_pallas", "refine",
+                                   "window_tiles"))
 def bvh_step_force(state: SystemState, theta: float, G: float, eps: float,
                    resort: bool = True, traversal: str = "group",
-                   group_tile: int = 512, use_pallas: bool = False):
+                   group_tile: int = 512, use_pallas: bool = False,
+                   refine: int | None = None, window_tiles: int = 32):
     """One BVH force evaluation: bbox -> hilbert sort -> refit -> traversal
     (the kernel sequence of run_bvh, bvh.h:382-397). Returns the PERMUTED
     state with `a` filled -- like the reference, the sort physically reorders
@@ -254,6 +256,7 @@ def bvh_step_force(state: SystemState, theta: float, G: float, eps: float,
             # and dominated the step; see compute_force_grouped_windowed)
             a, info = compute_force_grouped_windowed(
                 tree, state.m, state.x, theta, G, eps, tile=group_tile,
+                window_tiles=window_tiles, refine_levels=refine,
                 interpret=(use_pallas == "interpret"),
             )
         else:

@@ -288,6 +288,7 @@ def compute_force_grouped(
         return _finish_grouped(
             acc, xt, tile_over, ncount, lcount, ncnt, lcnt, m, x, n,
             ntiles, tile, npad, out_rows, dtype, epsv, Gv,
+            pallas_fb=use_pallas, eps_f=float(eps),
         )
 
     def eval_chunk(args):
@@ -414,7 +415,8 @@ def _finish_grouped(acc, xt, tile_over, ncount, lcount, ncnt, lcnt, m, x, n,
 @partial(
     jax.jit,
     static_argnames=("theta", "G", "eps", "tile", "window_tiles",
-                     "interpret", "e_chunk", "nrows", "s_target"),
+                     "interpret", "e_chunk", "nrows", "s_target",
+                     "refine_levels"),
 )
 def compute_force_grouped_windowed(
     tree: BVHTree,
@@ -429,7 +431,8 @@ def compute_force_grouped_windowed(
     e_chunk: int = 49152,
     row_start=None,
     nrows: int | None = None,
-    s_target: int = 256,
+    s_target: int = 512,
+    refine_levels: int | None = None,
 ):
     """Gather-free grouped BVH force (fp32 TPU fast path).
 
@@ -454,11 +457,24 @@ def compute_force_grouped_windowed(
                   so the conservative never-less-accurate guarantee of
                   the group MAC is preserved (bvh.h:246-324 semantics).
       residual    open L* nodes OUTSIDE the window (Hilbert seams,
-                  extreme density contrast) flag the tile for the exact
-                  full-direct-sum fallback -- truncation is impossible.
+                  extreme density contrast, and -- in 3-D, where the
+                  reference's quirky partial-Hilbert order has poor
+                  locality -- mid-range sparse-halo nodes) are REFINED
+                  `refine_levels` further levels through the same dense
+                  mask structure: children passing the tile MAC join the
+                  far-field mask as monopoles (exactly what the
+                  reference's per-body descent would evaluate), and only
+                  the still-open survivors become exact S/2^refine-body
+                  entries streamed through entries_tables_eval_pallas.
+                  refine_levels=None picks 2 in 3-D (measured: cuts the
+                  ~200 outside-window opens/tile that dominated the 3-D
+                  step) and 1 in 2-D.  Overflowing tiles still fall back
+                  to the exact direct sum -- truncation is impossible.
 
-    L* is chosen so an L*-node covers ~min(tile, 256) bodies; window and
-    L* adapt to small n.  fp32-only (f64/CPU runs use the list path).
+    L* is chosen so an L*-node covers min(s_target, tile) bodies (512
+    default -- the sweep found 256 gains only ~4% and 64 overflows);
+    window and L* adapt to small n.  fp32-only (f64/CPU runs use the
+    list path).
     """
     from nbody_tpu.ops.pallas_group_eval import (
         masked_eval_pallas,
@@ -504,18 +520,29 @@ def compute_force_grouped_windowed(
     tmax = jnp.max(xt_real, axis=1)
     tile0 = row0 // tile                       # global index of tile 0
 
-    # L*: node covers S = 2^(nlevels - L*) bodies
+    # L*: node covers S = 2^(nlevels - L*) bodies; s_target is the node
+    # size itself (power of two), so s_target=512 yields 512-body nodes
     S_target = min(s_target, tile)
-    level_star = max(0, nlevels - S_target.bit_length() + 1 - 1)
+    level_star = max(0, nlevels - (S_target.bit_length() - 1))
     # ensure S <= tile so tile boundaries align with node boundaries
     S = 1 << (nlevels - level_star)
     while S > tile and level_star < nlevels:
         level_star += 1
         S = 1 << (nlevels - level_star)
-    if (1 << level_star) + 1 > (1 << 16):
-        # packed entries hold the node id in 16 bits; beyond ~16M bodies
-        # per chip the list path (use_pallas=False) still works
-        raise ValueError("windowed BVH path supports at most 2^16 L* nodes")
+    if refine_levels is None:
+        refine_levels = 2 if dim == 3 else 1
+    refine_levels = min(refine_levels, nlevels - 1 - level_star)
+    if (1 << (level_star + refine_levels)) + 1 > (1 << 16):
+        # packed entries hold the (refined) node id in 16 bits; beyond
+        # that the list path (use_pallas=False) still works
+        raise ValueError("windowed BVH path supports at most 2^16 "
+                         "residual nodes; lower refine_levels/s_target")
+    if ntiles > (1 << 15):
+        # the tile id packs into the UPPER 16 bits of an int32 entry and
+        # is extracted with an arithmetic shift -- a tid >= 2^15 would set
+        # the sign bit and corrupt the BlockSpec index maps
+        raise ValueError("windowed BVH path supports at most 2^15 tiles; "
+                         "increase tile or use the list path")
 
     mm, mx, bw = tree.mm, tree.mx, tree.bw
 
@@ -540,18 +567,10 @@ def compute_force_grouped_windowed(
         else:
             open_mask = open_   # (ntiles, 2^L*)
 
-    W = (1 << (level_star + 1)) - 1
-    far_mask = jnp.concatenate(accept_masks, axis=1).astype(dtype)  # (T, W)
-
     # dead nodes (zero mass) never force a near/residual evaluation
     lvl_lo = (1 << level_star) - 1
     node_alive = (mm[lvl_lo:lvl_lo + (1 << level_star)] > 0)[None, :]
     open_mask = open_mask & node_alive
-
-    far = masked_eval_pallas(
-        xp.reshape(npad, dim), mm[:W], mx[:W].T, far_mask, float(eps),
-        interpret=interpret,
-    )
 
     # ---- near field: contiguous window around each tile ---------------
     wt = min(window_tiles, ntiles_g)
@@ -575,35 +594,65 @@ def compute_force_grouped_windowed(
 
     # ---- residual: open nodes OUTSIDE the window -----------------------
     # Mid-range nodes that are too big for their distance (sparse-halo
-    # nodes) fail the MAC from far away -- every tile has a few dozen.
-    # Each covers a CONTIGUOUS S-body range of the sorted array, so they
-    # become a flat tile-sorted entry list evaluated EXACTLY by
-    # entries_eval_pallas (scalar-prefetch block DMA; evaluating bodies
-    # where the reference descends to deeper monopoles is strictly more
-    # accurate).
+    # nodes) fail the MAC from far away -- every tile has a few dozen in
+    # 2-D, ~200 in 3-D.  First REFINE them `ref_lv` levels: their
+    # children are checked against the same group MAC, and passing
+    # children are appended to the far-field accept masks (the shared
+    # heap holds every level, so the masked eval just widens).  The
+    # still-open survivors each cover a CONTIGUOUS S2 = S/2^ref_lv body
+    # range of the sorted array and become a flat tile-sorted entry list
+    # evaluated EXACTLY by entries_tables_eval_pallas (scalar-prefetch
+    # block DMA; evaluating bodies where the reference descends to deeper
+    # monopoles is strictly more accurate).
     from nbody_tpu.ops.pallas_group_eval import entries_tables_eval_pallas
 
     all_nodes = jnp.arange(nodes_total, dtype=jnp.int32)[None, :]
     outside = open_mask & (
         (all_nodes < w0n[:, None]) | (all_nodes >= w0n[:, None] + wnodes)
     )
-    out_count = jnp.sum(outside, axis=1).astype(jnp.int32)
 
-    # gbe table: gbe == node id; one pad row (lo == hi) absorbs both the
-    # per-tile sentinels and the tail padding
-    R_slice = min(nodes_total, 1024)
+    ref_lv = refine_levels
+    out_open = outside
+    for l in range(level_star + 1, level_star + ref_lv + 1):
+        out_open = jnp.repeat(out_open, 2, axis=1)
+        lo_i, hi_i = (1 << l) - 1, (1 << (l + 1)) - 1
+        alive_l = (mm[lo_i:hi_i] > 0)[None, :]
+        com = jnp.broadcast_to(mx[lo_i:hi_i][None],
+                               (ntiles, hi_i - lo_i, dim))
+        w = jnp.broadcast_to(bw[lo_i:hi_i][None], (ntiles, hi_i - lo_i))
+        accept = mac_accept(com, w, out_open & alive_l)
+        accept_masks.append(accept)
+        out_open = out_open & alive_l & ~accept
+
+    # far field: one masked eval over the heap prefix covering levels
+    # 0..L*+ref_lv (the refinement masks extend the same prefix)
+    W = (1 << (level_star + ref_lv + 1)) - 1
+    far_mask = jnp.concatenate(accept_masks, axis=1).astype(dtype)  # (T, W)
+    far = masked_eval_pallas(
+        xp.reshape(npad, dim), mm[:W], mx[:W].T, far_mask, float(eps),
+        interpret=interpret,
+    )
+
+    nodes_res = 1 << (level_star + ref_lv)   # residual granularity
+    S2 = 1 << (nlevels - level_star - ref_lv)
+    out_count = jnp.sum(out_open, axis=1).astype(jnp.int32)
+
+    # gbe table: gbe == residual node id; blk/lo/hi locate its S2-range
+    # inside the S-sized DMA block; one pad row (lo == hi) absorbs both
+    # the per-tile sentinels and the tail padding
+    R_slice = min(nodes_res, 1024)
     BIG = jnp.asarray(1 << 30, jnp.int32)
-    key = jnp.where(outside, jnp.broadcast_to(all_nodes, outside.shape), BIG)
+    res_ids = jnp.arange(nodes_res, dtype=jnp.int32)
+    key = jnp.where(out_open, res_ids[None, :], BIG)
     sorted_ids = jnp.sort(key, axis=1)[:, :R_slice]          # (T, R)
     slot = jnp.arange(R_slice, dtype=jnp.int32)[None, :]
     vmask = slot < jnp.minimum(out_count, R_slice)[:, None]
-    pad_gbe = nodes_total
+    pad_gbe = nodes_res
     blk_tbl = jnp.concatenate(
-        [jnp.arange(nodes_total, dtype=jnp.int32),
-         jnp.zeros((1,), jnp.int32)])
+        [res_ids >> ref_lv, jnp.zeros((1,), jnp.int32)])
+    lo_arr = (res_ids & ((1 << ref_lv) - 1)) * S2
     lohi_tbl = jnp.concatenate(
-        [jnp.full((nodes_total,), S << 16, jnp.int32),
-         jnp.zeros((1,), jnp.int32)])
+        [lo_arr | ((lo_arr + S2) << 16), jnp.zeros((1,), jnp.int32)])
     nid_rows = jnp.concatenate(
         [jnp.full((ntiles, 1), pad_gbe, jnp.int32),          # per-tile sentinel
          jnp.where(vmask, sorted_ids, pad_gbe)], axis=1)
@@ -615,9 +664,13 @@ def compute_force_grouped_windowed(
     rank = jnp.cumsum(flat_v.astype(jnp.int32)) - 1
     E_CHUNK = e_chunk
     # measured outside-window opens per tile: ~24 mean in 2-D, ~200 in
-    # 3-D (concentrated galaxy); pad entries skip math but still pay a
-    # grid step, so budget by dimension
-    per_tile_est = 40 if dim == 2 else 240
+    # 3-D (concentrated galaxy) BEFORE refinement; each refinement level
+    # converts most survivors to far-field monopoles.  Pad entries skip
+    # math but still pay a grid step, so budget by dimension and ref_lv.
+    if dim == 2:
+        per_tile_est = 40 if ref_lv == 0 else 24
+    else:
+        per_tile_est = {0: 240, 1: 140}.get(ref_lv, 100)
     n_chunks = max(1, min(10, -(-(ntiles * per_tile_est + ntiles) // E_CHUNK)))
     E_cap = min(ntiles * (R_slice + 1), n_chunks * E_CHUNK)
     if E_cap > E_CHUNK:          # chunked: round up to whole chunks

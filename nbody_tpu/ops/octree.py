@@ -332,6 +332,56 @@ def compute_force(levels: OctreeLevels, ms: jnp.ndarray, xs: jnp.ndarray,
     return jax.vmap(traverse_one)(xs)
 
 
+def robust_quant_box(x: jnp.ndarray, lo, hi):
+    """ROBUST, ANISOTROPIC quantization box for the fast octree path.
+
+    Robust: the min/max box balloons when escaper bodies fly out (dt=10
+    galaxy: 13x after 10 steps), collapsing the core into a few cells and
+    blowing the entry caps. Quantize over a quantile box instead
+    (morton_keys clamps outliers into edge cells); the fast path's MAC
+    uses true per-cell extents, so acceptance stays conservative
+    regardless.  Never larger than the true per-dim bounds (heavy-tailed
+    distributions have quantile boxes ~= the full box, and the margin
+    would then just coarsen every cell).
+
+    Anisotropic (returns per-dim (lo, hi) vectors): the reference's cube
+    cells are a CPU-pointer-walk convenience; the fast path's MAC never
+    uses the nominal cell side -- only true extents -- so per-dim scaling
+    is free, and it is what keeps cell occupancy balanced for flattened
+    distributions (the reference's 3-D galaxy is a thin disk: cube cells
+    there hold area-scaled occupancy, which previously needed an occ=8
+    depth hack and still left 1402/1954 tiles falling back)."""
+    stride = max(1, x.shape[0] // 16384)
+    xs_sub = x[::stride]
+    qlo = jnp.quantile(xs_sub, 0.005, axis=0)
+    qhi = jnp.quantile(xs_sub, 0.995, axis=0)
+    span = qhi - qlo                                   # per-dim
+    lo_d = jnp.min(x, axis=0)
+    hi_d = jnp.max(x, axis=0)
+    lo_r = jnp.maximum(qlo - 0.15 * span, lo_d) - 1.0
+    hi_r = jnp.minimum(qhi + 0.15 * span, hi_d) + 1.0
+    return lo_r, hi_r
+
+
+def morton_sort(m: jnp.ndarray, x: jnp.ndarray, lo, hi, depth: int):
+    """Morton keys + stable sort of (m, x) -- the fast path's analog of
+    the reference's insert phase (octree.h:114-181). Returns
+    (ms, xs, ks, perm)."""
+    keys = morton_keys(x, lo, hi, depth)
+    perm = jnp.argsort(keys)
+    return m[perm], x[perm], keys[perm], perm
+
+
+def tree_size_from_keys(ks: jnp.ndarray, depth: int, dim: int) -> jnp.ndarray:
+    """Occupied-node count per --print-info (octree.h:313-316): the
+    per-level count of distinct sorted-key prefixes."""
+    size = jnp.ones((), jnp.int32)                   # root
+    for l in range(1, depth + 1):
+        pre = ks >> jnp.uint32((depth - l) * dim)
+        size = size + 1 + jnp.sum((pre[1:] != pre[:-1]).astype(jnp.int32))
+    return size
+
+
 @partial(jax.jit, static_argnames=("theta", "G", "eps", "depth", "traversal", "use_pallas",
                                    "group_tile"))
 def octree_step_force(state: SystemState, theta: float, G: float, eps: float,
@@ -351,35 +401,13 @@ def octree_step_force(state: SystemState, theta: float, G: float, eps: float,
         # the per-level count of distinct sorted-key prefixes
         from nbody_tpu.ops.octree_group import compute_force_grouped_fast
 
-        # ROBUST quantization box: the min/max box balloons when escaper
-        # bodies fly out (dt=10 galaxy: 13x after 10 steps), collapsing
-        # the core into a few cells and blowing the entry caps. The fast
-        # path quantizes over a quantile box (morton_keys clamps
-        # outliers into edge cells) and its MAC uses true per-cell
-        # extents, so acceptance stays conservative regardless.
-        stride = max(1, state.x.shape[0] // 16384)
-        xs_sub = state.x[::stride]
-        qlo = jnp.quantile(xs_sub, 0.005, axis=0)
-        qhi = jnp.quantile(xs_sub, 0.995, axis=0)
-        span = jnp.max(qhi - qlo)
-        # never larger than the true min/max box (heavy-tailed
-        # distributions have quantile boxes ~= the full box, and the
-        # margin would then just coarsen every cell)
-        lo_r = jnp.maximum(jnp.min(qlo) - 0.15 * span, lo) - 1.0
-        hi_r = jnp.minimum(jnp.max(qhi) + 0.15 * span, hi) + 1.0
-        keys = morton_keys(state.x, lo_r, hi_r, depth)
-        perm = jnp.argsort(keys)
-        ms, xs, ks = state.m[perm], state.x[perm], keys[perm]
+        lo_r, hi_r = robust_quant_box(state.x, lo, hi)
+        ms, xs, ks, perm = morton_sort(state.m, state.x, lo_r, hi_r, depth)
         a_sorted, info = compute_force_grouped_fast(
             ms, xs, ks, lo_r, hi_r, depth, theta, G, eps, tile=group_tile,
             interpret=(use_pallas == "interpret"),
         )
-        tree_size = jnp.ones((), jnp.int32)              # root
-        for l in range(1, depth + 1):
-            pre = (ks >> jnp.uint32((depth - l) * state.x.shape[1]))
-            tree_size = tree_size + 1 + jnp.sum(
-                (pre[1:] != pre[:-1]).astype(jnp.int32)
-            )
+        tree_size = tree_size_from_keys(ks, depth, state.x.shape[1])
         a = jnp.zeros_like(a_sorted).at[perm].set(a_sorted)
         aux = {
             "overflow": info["node_overflow"].astype(jnp.int32),

@@ -353,18 +353,28 @@ def compute_force_grouped(
         flags = tile_over[tiles]
         xi_fb = xt[tiles].reshape(K_GRP * tile, dim)
 
-        def fb_body(carry, blk):
-            mj, xj = blk
-            d = xj[None, :, :] - xi_fb[:, None, :]
-            dxv = jnp.sqrt(jnp.sum(d * d, axis=-1)) + epsv
-            denv = dxv * dxv * dxv
-            wt = jnp.where(denv > 0, mj[None, :] / denv,
-                           jnp.zeros((), dtype))
-            return carry + jnp.einsum("kl,kld->kd", wt, d), None
+        if use_pallas:
+            # fp32 TPU: the tiled block kernel (the chunked jnp scan below
+            # costs seconds per group at n=1M)
+            from nbody_tpu.ops.pallas_allpairs import allpairs_block_pallas
 
-        fb_acc, _ = jax.lax.scan(
-            fb_body, jnp.zeros((K_GRP * tile, dim), dtype), (mj_all, xj_all)
-        )
+            fb_acc = allpairs_block_pallas(
+                xi_fb, ms, xs, float(eps), softening="sqrt3",
+                interpret=(use_pallas == "interpret"),
+            )
+        else:
+            def fb_body(carry, blk):
+                mj, xj = blk
+                d = xj[None, :, :] - xi_fb[:, None, :]
+                dxv = jnp.sqrt(jnp.sum(d * d, axis=-1)) + epsv
+                denv = dxv * dxv * dxv
+                wt = jnp.where(denv > 0, mj[None, :] / denv,
+                               jnp.zeros((), dtype))
+                return carry + jnp.einsum("kl,kld->kd", wt, d), None
+
+            fb_acc, _ = jax.lax.scan(
+                fb_body, jnp.zeros((K_GRP * tile, dim), dtype), (mj_all, xj_all)
+            )
         rows = (tiles[:, None] * tile + jnp.arange(tile)[None, :]).reshape(-1)
         chosen = jnp.where(jnp.repeat(flags, tile)[:, None], fb_acc,
                            acc[rows])
@@ -419,10 +429,16 @@ def compute_force_grouped_fast(
                  one scatter-add histogram at L* and reshape-sum pooling
                  (children of cell c are cells c*nbranch+j -- contiguous),
                  with the reference's single-body demotion (a count-1
-                 cell's monopole is the exact body, octree.h:130-148);
-      far field  dense per-level accept masks (side_l fixed per level, so
-                 the MAC is one broadcast compare; repeat(nbranch)
-                 propagation) + masked_eval_pallas over the shared heap;
+                 cell's monopole is the exact body, octree.h:130-148).
+                 The quantization box is ANISOTROPIC and robust (see
+                 octree.robust_quant_box) -- legal because the MAC below
+                 never uses the nominal cell side;
+      far field  dense per-level accept masks (MAC width = true per-cell
+                 extents, the BVH bw semantics -- accept => width/dist <
+                 theta, the standard Barnes-Hut error bound on the actual
+                 mass cluster; one broadcast compare per level with
+                 repeat(nbranch) propagation) + masked_eval_pallas over
+                 the shared heap;
       near field every cell still open at L* is evaluated as EXACT bodies.
                  Cell body ranges are contiguous in Morton order, so the
                  global (cell, S-body-block) run table comes from change
@@ -451,7 +467,6 @@ def compute_force_grouped_fast(
     nbranch = 1 << dim
     theta2 = jnp.asarray(float(theta) ** 2, dtype)
     Gv = jnp.asarray(G, dtype)
-    root_side = hi - lo
 
     # shard-local rows (multi-chip: contiguous row range vs the full
     # replicated heap/run table; see parallel/tree_sharded.py)
@@ -477,16 +492,18 @@ def compute_force_grouped_fast(
     tmin = jnp.min(xt_real, axis=1)
     tmax = jnp.max(xt_real, axis=1)
 
-    # L*: nbranch^L* cells of ~256 bodies each; S-body blocks sized so
-    # the global block count stays <= 4096 (the run table must fit the
-    # 15-bit gbe field of packed entries)
-    # in 3-D the reference's galaxy is a thin disk: occupancy scales
-    # with AREA, so cells at the volume-based L* hold far too many
-    # bodies (measured: 1402/1954 tiles fell back at n=1M 3-D); go one
-    # level deeper there
-    occ = 8 if dim == 3 else 1
+    # L*: nbranch^L* cells of ~256 bodies each.  The quantization box is
+    # ANISOTROPIC (robust_quant_box returns per-dim bounds) and the MAC
+    # below uses TRUE per-cell extents only, so cell occupancy stays
+    # balanced even for the reference's thin-disk 3-D galaxy -- this
+    # replaced a volume-vs-area depth hack (occ=8) that put 3-D at
+    # L*+1 with an 8x larger run table and 787k entries at n=1M.
     level_star = 1
-    while (1 << (dim * level_star)) * 256 < npad * occ and level_star < depth:
+    # size L* from the GLOBAL padded body count: in multi-chip runs the
+    # cell grid / run table / S-blocks span all npad_g bodies, so sizing
+    # from the shard-local npad would make every cell hold ~n_shards*256
+    # bodies and trip the per-tile entry budgets into the exact fallback
+    while (1 << (dim * level_star)) * 256 < npad_g and level_star < depth:
         level_star += 1
     S = 256
     while npad_g // S > 16384:
@@ -497,6 +514,12 @@ def compute_force_grouped_fast(
             and level_star > 1:
         level_star -= 1
     C = 1 << (dim * level_star)
+    if ntiles > (1 << 15):
+        # the tile id packs into the UPPER 16 bits of an int32 entry and
+        # is extracted with an arithmetic shift -- a tid >= 2^15 would set
+        # the sign bit and corrupt the BlockSpec index maps
+        raise ValueError("fast octree path supports at most 2^15 tiles; "
+                         "increase tile or use the list path")
 
     # ---- dense prefix heap, levels 0..L* ------------------------------
     shift = jnp.uint32((depth - level_star) * dim)
@@ -540,6 +563,12 @@ def compute_force_grouped_fast(
         heap_cnt.append(cl)
 
     # ---- dense mask traversal -----------------------------------------
+    # MAC width = the cell contents' TRUE max extent (exactly the BVH
+    # path's bw semantics, bvh.h:140-144): accept => width/dist < theta,
+    # the standard Barnes-Hut error bound on the actual mass cluster.
+    # The nominal (anisotropic) cell side never enters -- extents are
+    # both tighter (flat cells accept earlier) and robust to the
+    # quantile box clamping outliers into edge cells.
     accept_masks = []
     open_mask = jnp.ones((ntiles, 1), jnp.bool_)
     for l in range(level_star + 1):
@@ -548,10 +577,8 @@ def compute_force_grouped_fast(
         dmin_v = jnp.maximum(tmin[:, None, :] - com, jnp.zeros((), dtype))
         dmin_v = jnp.maximum(dmin_v, com - tmax[:, None, :])
         dmin2 = jnp.sum(dmin_v * dmin_v, axis=-1)
-        side = root_side / jnp.asarray(float(1 << l), dtype)
         width = jnp.max(level_cmax[l] - level_cmin[l], axis=-1)
-        weff = jnp.maximum(side, jnp.where(heap_cnt[l] > 0, width, 0.0))
-        weff = weff[None, :]
+        weff = jnp.where(heap_cnt[l] > 0, width, 0.0)[None, :]
         single = (heap_cnt[l] == 1)[None, :]
         mac = (weff * weff < theta2 * dmin2) | single
         accept = open_mask & alive & mac
@@ -625,10 +652,9 @@ def compute_force_grouped_fast(
     flat_ent = ((tid_rows << 16) | ent_rows).reshape(-1)
     frank = jnp.cumsum(flat_v.astype(jnp.int32)) - 1
     E_CHUNK = e_chunk
-    # 3-D distributions are concentrated (the reference's 3-D galaxy
-    # occupies ~100 of 4096 L4 cells), so per-tile entry counts run ~2.5x
-    # the 2-D case -- budget accordingly (measured: 787k entries at
-    # n=1M 3-D galaxy, L*=5)
+    # per-tile entry budget: sized from measured galaxy runs (pad entries
+    # skip math but still pay a grid step; overflow falls back to the
+    # exact path, so over-budget slightly)
     per_tile_est = 180 if dim == 2 else 440
     n_chunks = max(1, min(16, -(-(ntiles * per_tile_est + ntiles) // E_CHUNK)))
     E_cap = min(ntiles * (R_slice + 1), n_chunks * E_CHUNK)

@@ -17,6 +17,18 @@ Padding contract: bodies are padded to a multiple of n_shards * tile
 with ZERO-MASS copies of the last sorted body (position duplication
 keeps every bounding box unchanged; zero mass makes the extra bodies
 force-invisible).
+
+Scaling ceiling (honest statement): only the force EVALUATION is 1/S per
+shard. The Hilbert/Morton sort and the tree build run replicated on
+every shard over the full body arrays, each shard holds all n bodies in
+HBM, and every step all_gathers the full (n, dim) acceleration array.
+So per-shard memory is O(n) (not O(n/S)), the sort/build portion of the
+step does not speed up with S, and the all_gather moves n*dim*4 bytes
+per step over ICI. For the measured v5e step breakdown (evaluation >>
+sort+build at n=1M) this still yields useful speedups to moderate S, but
+it is NOT weak scaling: pushing n beyond one chip's HBM, or S past the
+point where the replicated sort dominates, needs a distributed sort and
+a partitioned tree (future work, not implemented).
 """
 
 from __future__ import annotations
@@ -206,13 +218,9 @@ def make_sharded_octree_step(cfg: SimConfig, opts):
                 row_start=idx * nrows, nrows=nrows,
                 interpret=(upal == "interpret"),
             )
-            levels = None
-            tree_size_l = jnp.ones((), jnp.int32)
-            dimv = xs_all.shape[1]
-            for l in range(1, depth + 1):
-                pre = ks_all >> jnp.uint32((depth - l) * dimv)
-                tree_size_l = tree_size_l + 1 + jnp.sum(
-                    (pre[1:] != pre[:-1]).astype(jnp.int32))
+            from nbody_tpu.ops.octree import tree_size_from_keys
+
+            tree_size_l = tree_size_from_keys(ks_all, depth, xs_all.shape[1])
             a_all = jax.lax.all_gather(a_loc, BODY_AXIS, tiled=True)
             over = jax.lax.psum(info["node_overflow"].astype(jnp.int32),
                                 BODY_AXIS)
@@ -242,18 +250,10 @@ def make_sharded_octree_step(cfg: SimConfig, opts):
         lo, hi = scalar_bounds(state.x)
         if upal:
             # fast path needs only the sorted order, not the level build;
-            # robust quantization box (see octree_step_force)
-            stride = max(1, state.x.shape[0] // 16384)
-            xs_sub = state.x[::stride]
-            qlo = jnp.quantile(xs_sub, 0.005, axis=0)
-            qhi = jnp.quantile(xs_sub, 0.995, axis=0)
-            lo_t, hi_t = lo, hi
-            span = jnp.max(qhi - qlo)
-            # never larger than the true min/max box (heavy-tailed
-            # distributions have quantile boxes ~= the full box, and the
-            # margin would then just coarsen every cell)
-            lo = jnp.maximum(jnp.min(qlo) - 0.15 * span, lo_t) - 1.0
-            hi = jnp.minimum(jnp.max(qhi) + 0.15 * span, hi_t) + 1.0
+            # robust quantization box (see octree.robust_quant_box)
+            from nbody_tpu.ops.octree import robust_quant_box
+
+            lo, hi = robust_quant_box(state.x, lo, hi)
             perm = jnp.argsort(morton_keys(state.x, lo, hi, depth))
             ms, xs = state.m[perm], state.x[perm]
         else:

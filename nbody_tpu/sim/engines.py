@@ -52,6 +52,8 @@ class EngineOptions:
     sort_every: int = 1         # re-sort cadence for tree engines
     traversal: str = "group"    # group|per-body : BVH traversal strategy
     group_tile: int = 512       # bodies per tile in group traversal
+    refine: int = -1            # BVH residual refinement levels (-1 = auto)
+    window_tiles: int = 32      # BVH near-field window width (body tiles)
 
 
 def _timed(fn: Callable, *args):

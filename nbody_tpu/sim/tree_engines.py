@@ -49,6 +49,8 @@ class BVHEngine:
         sort_every = max(1, opts.sort_every)
         trav = opts.traversal
         gtile = opts.group_tile
+        refine = None if opts.refine < 0 else opts.refine
+        wt = opts.window_tiles
         upal = _use_pallas_eval(cfg, opts)
 
         if opts.mesh > 1:
@@ -60,7 +62,9 @@ class BVHEngine:
                 state, _, aux = bvh_step_force(state, theta, G, eps,
                                                traversal=trav,
                                                group_tile=gtile,
-                                               use_pallas=upal)
+                                               use_pallas=upal,
+                                               refine=refine,
+                                               window_tiles=wt)
                 return leapfrog_step(state, cfg.dt), aux
 
             return step
@@ -76,10 +80,12 @@ class BVHEngine:
                 jnp.mod(k, sort_every) == 0,
                 lambda s: bvh_step_force(s, theta, G, eps, resort=True,
                                          traversal=trav, group_tile=gtile,
-                                         use_pallas=upal),
+                                         use_pallas=upal, refine=refine,
+                                         window_tiles=wt),
                 lambda s: bvh_step_force(s, theta, G, eps, resort=False,
                                          traversal=trav, group_tile=gtile,
-                                         use_pallas=upal),
+                                         use_pallas=upal, refine=refine,
+                                         window_tiles=wt),
                 state,
             )
             return leapfrog_step(state, cfg.dt), aux
@@ -125,9 +131,11 @@ class BVHEngine:
             if upal:
                 # the windowed fast path is a drop-in "force approx"
                 # phase: build/sort/bbox stay separately timed above it
+                refine = None if opts.refine < 0 else opts.refine
                 force_fn = jax.jit(
                     lambda tree, m, x: compute_force_grouped_windowed(
                         tree, m, x, theta, G, eps, tile=opts.group_tile,
+                        window_tiles=opts.window_tiles, refine_levels=refine,
                         interpret=(upal == "interpret"),
                     )
                 )
@@ -223,12 +231,20 @@ class OctreeEngine:
         build_fn = jax.jit(
             lambda m, x, lo, hi: build_octree(m, x, lo, hi, depth)
         )
+        upal = _use_pallas_eval(cfg, opts)
+        if opts.traversal == "group" and upal:
+            # time the PRODUCTION fast path (same implementation default
+            # mode runs, octree_step_force's use_pallas branch), phased
+            # per the reference contract (octree.h:278-283): `insert` =
+            # robust box + Morton keys + sort (what replaces CAS
+            # insertion), multipoles fused into the traversal's dense
+            # heap build, `force approx` = grouped fast eval + scatter
+            return self._make_detailed_fast(cfg, opts, depth)
         if opts.traversal == "group":
             from nbody_tpu.ops.octree_group import (
                 compute_force_grouped as octree_grouped,
             )
 
-            upal = _use_pallas_eval(cfg, opts)
             force_fn = jax.jit(
                 lambda levels, ms, xs, side: octree_grouped(
                     levels, ms, xs, side, theta, G, eps,
@@ -273,6 +289,69 @@ class OctreeEngine:
                 "overflow": finfo["node_overflow"],
                 "tree_size": jnp.sum(levels.count > 0).astype(jnp.int32),
                 "root_mass": levels.mass[0],
+            }
+            return state, phases, aux
+
+        return detailed
+
+    def _make_detailed_fast(self, cfg: SimConfig, opts: EngineOptions,
+                            depth: int):
+        from nbody_tpu.ops.geometry import scalar_bounds
+        from nbody_tpu.ops.octree import (
+            morton_sort,
+            robust_quant_box,
+            tree_size_from_keys,
+        )
+        from nbody_tpu.ops.octree_group import compute_force_grouped_fast
+
+        theta, G, eps = float(cfg.theta), float(cfg.G), cfg.eps
+        upal = _use_pallas_eval(cfg, opts)
+        dim = cfg.dim
+
+        bounds_fn = jax.jit(scalar_bounds)
+
+        @jax.jit
+        def sort_fn(m, x, lo, hi):
+            lo_r, hi_r = robust_quant_box(x, lo, hi)
+            ms, xs, ks, perm = morton_sort(m, x, lo_r, hi_r, depth)
+            return lo_r, hi_r, ms, xs, ks, perm
+
+        force_fn = jax.jit(
+            lambda ms, xs, ks, lo_r, hi_r: compute_force_grouped_fast(
+                ms, xs, ks, lo_r, hi_r, depth, theta, G, eps,
+                tile=opts.group_tile,
+                interpret=(upal == "interpret"),
+            )
+        )
+
+        @jax.jit
+        def scatter_fn(a_sorted, perm):
+            return jnp.zeros_like(a_sorted).at[perm].set(a_sorted)
+
+        tsize_fn = jax.jit(lambda ks: tree_size_from_keys(ks, depth, dim))
+        integrate = jax.jit(lambda s: leapfrog_step(s, cfg.dt))
+
+        def detailed(state: SystemState):
+            phases = {"clear": 0.0, "multipoles": 0.0}
+            (lo, hi), phases["bbox"] = _timed(bounds_fn, state.x)
+            (lo_r, hi_r, ms, xs, ks, perm), phases["insert"] = _timed(
+                sort_fn, state.m, state.x, lo, hi
+            )
+            (a_sorted, finfo), phases["force approx"] = _timed(
+                force_fn, ms, xs, ks, lo_r, hi_r
+            )
+            a, t_scatter = _timed(scatter_fn, a_sorted, perm)
+            phases["force approx"] += t_scatter
+            state = dataclasses.replace(state, a=a)
+            phases["force"] = sum(
+                phases[k]
+                for k in ("clear", "bbox", "insert", "multipoles", "force approx")
+            )
+            state, phases["accel"] = _timed(integrate, state)
+            aux = {
+                "overflow": finfo["node_overflow"],
+                "tree_size": tsize_fn(ks),
+                "root_mass": jnp.sum(state.m),
             }
             return state, phases, aux
 

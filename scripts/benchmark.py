@@ -102,6 +102,20 @@ def main(argv=None) -> int:
     meta = hardware_metadata()
     print(f"# hardware: {meta}", file=sys.stderr)
 
+    if a.precision == "double" and meta.get("backend") == "tpu":
+        # the gather-free tree fast paths and the Pallas all-pairs kernel
+        # are fp32-only (the TPU has no native f64); double runs fall back
+        # to the chunked jnp list paths, which at N=1M cost tens of
+        # seconds PER STEP on emulated f64 (see BASELINE.md) -- a full
+        # non-quick double matrix is an hours-long run
+        print(
+            "# WARNING: precision=double leaves the TPU fp32 fast paths; "
+            "tree runs fall back to the f64 list path (~100x slower at "
+            "N=1M). Use --precision float for the TPU-native numbers, or "
+            "--quick to bound the cost.",
+            file=sys.stderr,
+        )
+
     all_rows = []
     for algo, n, s in matrix:
         print(f"# running {algo} n={n} steps={s} ...", file=sys.stderr, flush=True)

@@ -86,6 +86,19 @@ def run_ours(dim: int, args: list[str], cwd=None) -> str:
     return proc.stdout
 
 
+def read_positions(path):
+    """Read a positions.bin trajectory (saving.h:85-98 header: 4 x u32
+    {nbodies, nsteps, sizeof(T), dim}) into (frames, nbodies, dim)."""
+    import numpy as np
+
+    with open(path, "rb") as fh:
+        header = np.fromfile(fh, dtype=np.uint32, count=4)
+        nbodies, _nsteps, tsize, dim = (int(v) for v in header)
+        dtype = np.float64 if tsize == 8 else np.float32
+        data = np.fromfile(fh, dtype=dtype)
+    return data.reshape(-1, nbodies, dim)
+
+
 _STATE_RE = re.compile(
     r"^\d+: m=\s*(\S+), p=\(\s*(\S+),\s*(\S+)\), v=\(\s*(\S+),\s*(\S+)\), "
     r"f=\(\s*(\S+),\s*(\S+)\)$"
