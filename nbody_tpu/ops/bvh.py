@@ -212,11 +212,12 @@ def compute_force(tree: BVHTree, m: jnp.ndarray, x: jnp.ndarray,
 
 @partial(jax.jit, static_argnames=("theta", "G", "eps", "resort", "traversal",
                                    "group_tile", "use_pallas", "refine",
-                                   "window_tiles"))
+                                   "window_tiles", "true_curve"))
 def bvh_step_force(state: SystemState, theta: float, G: float, eps: float,
                    resort: bool = True, traversal: str = "group",
                    group_tile: int = 512, use_pallas: bool = False,
-                   refine: int | None = None, window_tiles: int = 32):
+                   refine: int | None = None, window_tiles: int = 32,
+                   true_curve: bool | None = None):
     """One BVH force evaluation: bbox -> hilbert sort -> refit -> traversal
     (the kernel sequence of run_bvh, bvh.h:382-397). Returns the PERMUTED
     state with `a` filled -- like the reference, the sort physically reorders
@@ -226,9 +227,16 @@ def bvh_step_force(state: SystemState, theta: float, G: float, eps: float,
     (nbody_tpu.ops.bvh_group; conservative MAC, never less accurate than
     the reference's); "per-body" is the faithful reference walk.
     """
+    if true_curve is None:
+        # the fast path sorts along the REAL 3-D Hilbert curve: its
+        # windowed near field and node-box tightness are locality-bound,
+        # and the reference's partial transform (vec.h:328) leaves 8-cell
+        # jumps between consecutive bodies.  The faithful paths keep the
+        # reference's order (body order is user-visible via print-state).
+        true_curve = bool(use_pallas) and state.x.shape[1] == 3
     if resort:
         xmin, xmax = aabb_of_points(state.x, eps)
-        perm = hilbert_sort_perm(state.x, xmin, xmax)
+        perm = hilbert_sort_perm(state.x, xmin, xmax, true_curve=true_curve)
         # pack all body arrays into one (n, 1+4*dim) matrix so the
         # permutation is a single gather (five separate gathers measured
         # ~4x slower at n=100k)

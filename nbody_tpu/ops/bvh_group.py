@@ -459,17 +459,15 @@ def compute_force_grouped_windowed(
       residual    open L* nodes OUTSIDE the window (Hilbert seams,
                   extreme density contrast, and -- in 3-D, where the
                   reference's quirky partial-Hilbert order has poor
-                  locality -- mid-range sparse-halo nodes) are REFINED
-                  `refine_levels` further levels through the same dense
-                  mask structure: children passing the tile MAC join the
-                  far-field mask as monopoles (exactly what the
-                  reference's per-body descent would evaluate), and only
-                  the still-open survivors become exact S/2^refine-body
-                  entries streamed through entries_tables_eval_pallas.
-                  refine_levels=None picks 2 in 3-D (measured: cuts the
-                  ~200 outside-window opens/tile that dominated the 3-D
-                  step) and 1 in 2-D.  Overflowing tiles still fall back
-                  to the exact direct sum -- truncation is impossible.
+                  locality -- mid-range sparse-halo nodes) become exact
+                  S-body entries streamed through
+                  entries_tables_eval_pallas.  `refine_levels` > 0
+                  optionally refines them deeper first (children passing
+                  the tile MAC join the far-field mask as monopoles) --
+                  measured counterproductive on the galaxy workloads
+                  (see the in-function comment), default 0.  Overflowing
+                  tiles still fall back to the exact direct sum --
+                  truncation is impossible.
 
     L* is chosen so an L*-node covers min(s_target, tile) bodies (512
     default -- the sweep found 256 gains only ~4% and 64 overflows);
@@ -530,7 +528,15 @@ def compute_force_grouped_windowed(
         level_star += 1
         S = 1 << (nlevels - level_star)
     if refine_levels is None:
-        refine_levels = 2 if dim == 3 else 1
+        # measured at n=1M galaxy (both dims): refinement is strictly
+        # COUNTERPRODUCTIVE here -- implicit-BVH children halve the BODY
+        # range, not the box extent (with the reference's partial-Hilbert
+        # 3-D order, child boxes barely shrink), so descending an
+        # outside-window open node doubles the candidate count instead
+        # of retiring it (ref=1: 4.2 s vs 1.36 s at 3-D 1M, 692 tiles
+        # into fallback).  Kept as an opt-in knob for distributions with
+        # spatially-splitting nodes.
+        refine_levels = 0
     refine_levels = min(refine_levels, nlevels - 1 - level_star)
     if (1 << (level_star + refine_levels)) + 1 > (1 << 16):
         # packed entries hold the (refined) node id in 16 bits; beyond

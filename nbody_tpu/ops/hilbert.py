@@ -31,12 +31,16 @@ def _u32(v) -> jnp.ndarray:
     return jnp.asarray(v, jnp.uint32)
 
 
-def skilling_transform(cols: list[jnp.ndarray], dim: int) -> list[jnp.ndarray]:
+def skilling_transform(cols: list[jnp.ndarray], dim: int,
+                       n_active: int | None = None) -> list[jnp.ndarray]:
     """The transpose-to-Hilbert pass (vec.h:299-356) on quantized coords.
-    cols: per-dimension uint32 arrays. Mirrors the reference exactly,
-    including n = 2 active axes in 3-D (the quirk above)."""
+    cols: per-dimension uint32 arrays. n_active=None mirrors the
+    reference exactly, including n = 2 active axes in 3-D (the quirk
+    above); n_active=dim gives the TRUE Skilling curve (used by the 3-D
+    fast path for locality -- see hilbert_sort_perm)."""
     bits = HILBERT_BITS[dim]
-    n_active = 2  # the reference uses n=2 for BOTH 2-D and 3-D (vec.h:302,328)
+    if n_active is None:
+        n_active = 2  # the reference uses n=2 for BOTH dims (vec.h:302,328)
     x = [c.astype(jnp.uint32) for c in cols]
 
     M = 1 << (bits - 1)
@@ -92,10 +96,13 @@ def interleave_bits_u32pair(cols: list[jnp.ndarray], dim: int):
     return hi, lo
 
 
-def hilbert_key_u32pair(cell: jnp.ndarray, dim: int):
-    """Hilbert key of quantized cells (n, dim) uint32 -> (hi, lo)."""
+def hilbert_key_u32pair(cell: jnp.ndarray, dim: int,
+                        true_curve: bool = False):
+    """Hilbert key of quantized cells (n, dim) uint32 -> (hi, lo).
+    true_curve=True uses all `dim` axes in the Skilling passes (a real
+    3-D Hilbert curve) instead of the reference's n=2 quirk."""
     cols = [cell[:, d] for d in range(dim)]
-    cols = skilling_transform(cols, dim)
+    cols = skilling_transform(cols, dim, n_active=dim if true_curve else None)
     return interleave_bits_u32pair(cols, dim)
 
 
@@ -107,23 +114,34 @@ def quantize(x: jnp.ndarray, xmin: jnp.ndarray, lengths: jnp.ndarray, dim: int) 
     return ((x - xmin[None, :]) / cell_size[None, :]).astype(jnp.uint32)
 
 
-def hilbert_sort_perm(x: jnp.ndarray, xmin: jnp.ndarray, xmax: jnp.ndarray) -> jnp.ndarray:
+def hilbert_sort_perm(x: jnp.ndarray, xmin: jnp.ndarray, xmax: jnp.ndarray,
+                      true_curve: bool = False) -> jnp.ndarray:
     """Permutation sorting bodies along the Hilbert curve (the TPU analog of
     hilbert_sort's sort-by-key, bvh.h:24-96: argsort + gather instead of a
-    zip sort; jnp.lexsort is stable so equal keys keep body order)."""
+    zip sort; jnp.lexsort is stable so equal keys keep body order).
+
+    true_curve=True sorts along the REAL 3-D Hilbert curve instead of the
+    reference's partial transform (vec.h:328 reuses n=2 in 3-D, so only
+    two axes get the Gray-code passes -- a deterministic space-filling
+    order but with much worse locality than real Hilbert).  Order only
+    affects locality and FP summation order, never physics; the TPU fast
+    path uses the true curve in 3-D because its windowed near field and
+    node-box tightness are locality-bound.  In 2-D the reference curve
+    IS the true curve, so the flag is a no-op."""
     n, dim = x.shape
     cell = quantize(x, xmin, xmax - xmin, dim)
-    hi, lo = hilbert_key_u32pair(cell, dim)
+    hi, lo = hilbert_key_u32pair(cell, dim, true_curve=true_curve)
     return jnp.lexsort((lo, hi))
 
 
 # -- scalar oracle (used by tests) -------------------------------------------
 
-def hilbert_key_scalar(cell: np.ndarray, dim: int) -> int:
+def hilbert_key_scalar(cell: np.ndarray, dim: int,
+                       true_curve: bool = False) -> int:
     """Direct scalar transcription of hilbert() (vec.h:299-356) for testing
     the vectorized version. cell: (dim,) uint32."""
     bits = HILBERT_BITS[dim]
-    n = 2  # reference quirk
+    n = dim if true_curve else 2  # default: reference quirk
     x = [int(cell[d]) & 0xFFFFFFFF for d in range(dim)]
     M = 1 << (bits - 1)
     Q = M

@@ -492,18 +492,21 @@ def compute_force_grouped_fast(
     tmin = jnp.min(xt_real, axis=1)
     tmax = jnp.max(xt_real, axis=1)
 
-    # L*: nbranch^L* cells of ~256 bodies each.  The quantization box is
-    # ANISOTROPIC (robust_quant_box returns per-dim bounds) and the MAC
-    # below uses TRUE per-cell extents only, so cell occupancy stays
-    # balanced even for the reference's thin-disk 3-D galaxy -- this
-    # replaced a volume-vs-area depth hack (occ=8) that put 3-D at
-    # L*+1 with an 8x larger run table and 787k entries at n=1M.
+    # L*: nbranch^L* cells of ~256 bodies each under a UNIFORM-density
+    # assumption, pushed one level deeper (occ=8) in 3-D: the reference's
+    # 3-D galaxy is a ROTATED disk pair concentrated in ~5% of the box
+    # volume, so uniform-L* cells in the cores hold tens of thousands of
+    # bodies and blow the entry caps (measured: L*=4 put 905/1954 tiles
+    # into the exact fallback, 5.8 s/step; the anisotropic box cannot
+    # flatten a rotated plane).  The box IS anisotropic per-dim
+    # (robust_quant_box) and the MAC uses true per-cell extents only.
+    occ = 8 if dim == 3 else 1
     level_star = 1
     # size L* from the GLOBAL padded body count: in multi-chip runs the
     # cell grid / run table / S-blocks span all npad_g bodies, so sizing
     # from the shard-local npad would make every cell hold ~n_shards*256
     # bodies and trip the per-tile entry budgets into the exact fallback
-    while (1 << (dim * level_star)) * 256 < npad_g and level_star < depth:
+    while (1 << (dim * level_star)) * 256 < npad_g * occ and level_star < depth:
         level_star += 1
     S = 256
     while npad_g // S > 16384:

@@ -22,6 +22,9 @@ import functools
 import json
 import sys
 
+import os
+sys.path.insert(0, os.path.join(os.path.dirname(__file__), '..'))
+
 import numpy as np
 
 OUT = sys.argv[1] if len(sys.argv) > 1 else "/tmp/probe_allpairs.json"

@@ -15,6 +15,9 @@ import json
 import sys
 from functools import partial
 
+import os
+sys.path.insert(0, os.path.join(os.path.dirname(__file__), '..'))
+
 import numpy as np
 
 OUT = sys.argv[1] if len(sys.argv) > 1 else "/tmp/probe_tree.json"
