@@ -336,7 +336,7 @@ def compute_force_grouped(
 
 def _finish_grouped(acc, xt, tile_over, ncount, lcount, ncnt, lcnt, m, x, n,
                     ntiles, tile, npad, out_rows, dtype, epsv, Gv,
-                    pallas_fb=None, eps_f=None):
+                    pallas_fb=None, eps_f=None, n_entries=None):
     """Exact-fallback pass over overflowed tiles + the info dict (shared
     by the jnp and Pallas evaluation paths).  pallas_fb selects the tiled
     Pallas block kernel for the per-group direct sum (fp32 TPU; the jnp
@@ -409,6 +409,8 @@ def _finish_grouped(acc, xt, tile_over, ncount, lcount, ncnt, lcnt, m, x, n,
         "node_overflow": jnp.zeros((), jnp.int32),
         "leaf_overflow": jnp.zeros((), jnp.int32),
     }
+    if n_entries is not None:
+        info["entries"] = n_entries
     return Gv * acc, info
 
 
@@ -416,7 +418,7 @@ def _finish_grouped(acc, xt, tile_over, ncount, lcount, ncnt, lcnt, m, x, n,
     jax.jit,
     static_argnames=("theta", "G", "eps", "tile", "window_tiles",
                      "interpret", "e_chunk", "nrows", "s_target",
-                     "refine_levels"),
+                     "refine_levels", "ablate"),
 )
 def compute_force_grouped_windowed(
     tree: BVHTree,
@@ -433,6 +435,7 @@ def compute_force_grouped_windowed(
     nrows: int | None = None,
     s_target: int = 512,
     refine_levels: int | None = None,
+    ablate: str = "",
 ):
     """Gather-free grouped BVH force (fp32 TPU fast path).
 
@@ -593,10 +596,13 @@ def compute_force_grouped_windowed(
     body_mask = jnp.broadcast_to(
         in_win.astype(dtype)[:, :, None], (ntiles, wnodes, S)
     ).reshape(ntiles, wt * tile)
-    near = window_eval_pallas(
-        xp.reshape(npad, dim), mp_g, xp_g.T, body_mask, w0, float(eps),
-        window_tiles=wt, interpret=interpret,
-    )
+    if "win" in ablate:      # ablation probes only (wrong forces!)
+        near = jnp.zeros((npad, dim), dtype)
+    else:
+        near = window_eval_pallas(
+            xp.reshape(npad, dim), mp_g, xp_g.T, body_mask, w0, float(eps),
+            window_tiles=wt, interpret=interpret,
+        )
 
     # ---- residual: open nodes OUTSIDE the window -----------------------
     # Mid-range nodes that are too big for their distance (sparse-halo
@@ -630,17 +636,53 @@ def compute_force_grouped_windowed(
         accept_masks.append(accept)
         out_open = out_open & alive_l & ~accept
 
-    # far field: one masked eval over the heap prefix covering levels
-    # 0..L*+ref_lv (the refinement masks extend the same prefix)
-    W = (1 << (level_star + ref_lv + 1)) - 1
-    far_mask = jnp.concatenate(accept_masks, axis=1).astype(dtype)  # (T, W)
-    far = masked_eval_pallas(
-        xp.reshape(npad, dim), mm[:W], mx[:W].T, far_mask, float(eps),
-        interpret=interpret,
-    )
-
     nodes_res = 1 << (level_star + ref_lv)   # residual granularity
     S2 = 1 << (nlevels - level_star - ref_lv)
+
+    # SUBTILE monopole re-test: the group MAC uses the tile's bounding
+    # HULL, which for 512 sorted bodies in a sparse 3-D region is mostly
+    # empty space -- min over SUB-TILE boxes of dmin is typically far
+    # larger than the hull dmin.  A residual node whose MAC passes
+    # against EVERY sub-tile box is a valid theta-monopole for every
+    # body of the tile (each body lies in some sub-tile), so it joins
+    # the far-field mask; only the remainder stays exact.  Per (tile,
+    # node) the outcome is whole-tile monopole OR whole-tile exact --
+    # no double counting by construction.  (An in-kernel per-subtile
+    # branch version measured SLOWER than no refinement at all: 2.2 s vs
+    # 1.36 s at n=1M 3-D -- predicated small-block math defeats Mosaic's
+    # pipelining.  This mask-level formulation costs one dense
+    # (T, nsub, R) MAC and nothing in the kernels.)
+    nsub = max(1, min(8, tile // 8))
+    stb = tile // nsub
+    sb_lo = jnp.min(xt_real.reshape(ntiles, nsub, stb, dim), axis=2)
+    sb_hi = jnp.max(xt_real.reshape(ntiles, nsub, stb, dim), axis=2)
+    lvl2 = nodes_res - 1
+    com_res = mx[lvl2:lvl2 + nodes_res]
+    w2_res = bw[lvl2:lvl2 + nodes_res] ** 2
+    min_dmin2 = None
+    for s in range(nsub):
+        dv = jnp.maximum(sb_lo[:, s, None, :] - com_res[None],
+                         jnp.zeros((), dtype))
+        dv = jnp.maximum(dv, com_res[None] - sb_hi[:, s, None, :])
+        d2s = jnp.sum(dv * dv, axis=-1)
+        min_dmin2 = d2s if min_dmin2 is None else jnp.minimum(min_dmin2, d2s)
+    mono = out_open & (w2_res[None, :] < theta2 * min_dmin2)
+    accept_masks[-1] = accept_masks[-1] | mono
+    out_open = out_open & ~mono
+
+    # far field: one masked eval over the heap prefix covering levels
+    # 0..L*+ref_lv (the refinement + subtile-monopole masks extend the
+    # same prefix)
+    W = (1 << (level_star + ref_lv + 1)) - 1
+    far_mask = jnp.concatenate(accept_masks, axis=1).astype(dtype)  # (T, W)
+    if "far" in ablate:      # ablation probes only (wrong forces!)
+        far = jnp.zeros((npad, dim), dtype)
+    else:
+        far = masked_eval_pallas(
+            xp.reshape(npad, dim), mm[:W], mx[:W].T, far_mask, float(eps),
+            interpret=interpret,
+        )
+
     out_count = jnp.sum(out_open, axis=1).astype(jnp.int32)
 
     # gbe table: gbe == residual node id; blk/lo/hi locate its S2-range
@@ -669,15 +711,13 @@ def compute_force_grouped_windowed(
     flat_ent = ((tid_rows << 16) | nid_rows).reshape(-1)
     rank = jnp.cumsum(flat_v.astype(jnp.int32)) - 1
     E_CHUNK = e_chunk
-    # measured outside-window opens per tile: ~24 mean in 2-D, ~200 in
-    # 3-D (concentrated galaxy) BEFORE refinement; each refinement level
-    # converts most survivors to far-field monopoles.  Pad entries skip
-    # math but still pay a grid step, so budget by dimension and ref_lv.
-    if dim == 2:
-        per_tile_est = 40 if ref_lv == 0 else 24
-    else:
-        per_tile_est = {0: 240, 1: 140}.get(ref_lv, 100)
-    n_chunks = max(1, min(10, -(-(ntiles * per_tile_est + ntiles) // E_CHUNK)))
+    # per-tile entry budget: GENEROUS -- all-pad chunks past the actual
+    # entry count are skipped via n_real/lax.cond, so over-budgeting only
+    # costs worst-case memory, while under-budgeting causes fallback
+    # direct sums.  Measured outside-window opens per tile: ~24 mean in
+    # 2-D, ~200 in 3-D (concentrated galaxy).
+    per_tile_est = 96 if dim == 2 else 400
+    n_chunks = max(1, min(20, -(-(ntiles * per_tile_est + ntiles) // E_CHUNK)))
     E_cap = min(ntiles * (R_slice + 1), n_chunks * E_CHUNK)
     if E_cap > E_CHUNK:          # chunked: round up to whole chunks
         E_cap = -(-E_cap // E_CHUNK) * E_CHUNK
@@ -691,11 +731,17 @@ def compute_force_grouped_windowed(
     end_rank = jnp.cumsum(per_tile)
     tile_over = (out_count > R_slice) | (end_rank > E_cap)
 
-    resid = entries_tables_eval_pallas(
-        xp.reshape(npad, dim), mp_g, xp_g.T,
-        entries.reshape(-1, E_CHUNK), blk_tbl, lohi_tbl,
-        float(eps), S=S, tb=tile, interpret=interpret, softening="poly",
-    )
+    if "resid" in ablate:    # ablation probes only (wrong forces!)
+        resid = jnp.zeros((npad, dim), dtype)
+    elif "rlist" in ablate:  # keep entry-list BUILD, skip only the eval
+        resid = jnp.zeros((npad, dim), dtype) + entries.sum().astype(dtype)
+    else:
+        resid = entries_tables_eval_pallas(
+            xp.reshape(npad, dim), mp_g, xp_g.T,
+            entries.reshape(-1, E_CHUNK), blk_tbl, lohi_tbl,
+            float(eps), S=S, tb=tile, interpret=interpret, softening="poly",
+            n_real=end_rank[-1],
+        )
 
     acc = far + near + resid
     return _finish_grouped(
@@ -703,4 +749,5 @@ def compute_force_grouped_windowed(
         jnp.zeros_like(out_count), jnp.zeros_like(out_count),
         m, x, n, ntiles, tile, npad, out_rows, dtype, epsv, Gv,
         pallas_fb=("interpret" if interpret else True), eps_f=float(eps),
+        n_entries=end_rank[-1],
     )

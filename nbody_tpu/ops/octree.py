@@ -383,10 +383,11 @@ def tree_size_from_keys(ks: jnp.ndarray, depth: int, dim: int) -> jnp.ndarray:
 
 
 @partial(jax.jit, static_argnames=("theta", "G", "eps", "depth", "traversal", "use_pallas",
-                                   "group_tile"))
+                                   "group_tile", "window_tiles"))
 def octree_step_force(state: SystemState, theta: float, G: float, eps: float,
                       depth: int, traversal: str = "group",
-                      group_tile: int = 512, use_pallas: bool = False):
+                      group_tile: int = 512, use_pallas: bool = False,
+                      window_tiles: int = 32):
     """One octree force evaluation: bounds -> morton sort -> segmented build
     -> MAC traversal -> scatter back to original body order (the kernel
     sequence of run_octree, octree.h:321-328, minus clear/insert which do
@@ -405,6 +406,7 @@ def octree_step_force(state: SystemState, theta: float, G: float, eps: float,
         ms, xs, ks, perm = morton_sort(state.m, state.x, lo_r, hi_r, depth)
         a_sorted, info = compute_force_grouped_fast(
             ms, xs, ks, lo_r, hi_r, depth, theta, G, eps, tile=group_tile,
+            window_tiles=window_tiles,
             interpret=(use_pallas == "interpret"),
         )
         tree_size = tree_size_from_keys(ks, depth, state.x.shape[1])

@@ -400,7 +400,7 @@ def compute_force_grouped(
 @partial(
     jax.jit,
     static_argnames=("depth", "theta", "G", "eps", "tile", "interpret",
-                     "e_chunk", "nrows"),
+                     "e_chunk", "nrows", "ablate", "window_tiles"),
 )
 def compute_force_grouped_fast(
     ms: jnp.ndarray,
@@ -417,6 +417,9 @@ def compute_force_grouped_fast(
     e_chunk: int = 49152,
     row_start=None,
     nrows: int | None = None,
+    ablate: str = "",
+    window_tiles: int = 32,
+    depth_bias: int = 0,
 ):
     """Gather-free grouped octree force (fp32 TPU fast path).
 
@@ -459,6 +462,7 @@ def compute_force_grouped_fast(
     from nbody_tpu.ops.pallas_group_eval import (
         entries_tables_eval_pallas,
         masked_eval_pallas,
+        window_eval_pallas,
     )
     from nbody_tpu.ops.pallas_allpairs import allpairs_block_pallas
 
@@ -508,6 +512,13 @@ def compute_force_grouped_fast(
     # bodies and trip the per-tile entry budgets into the exact fallback
     while (1 << (dim * level_star)) * 256 < npad_g * occ and level_star < depth:
         level_star += 1
+    # depth_bias shifts L* deeper: halving the cell width shrinks the
+    # open radius ~proportionally, so the open j-MASS (and with it the
+    # entry count) drops ~4x per level in 2-D -- the dense galaxy cores
+    # are the entry source, and uniform-occupancy L* leaves them with
+    # thousands of bodies per cell.  Bounded by the 16-bit gbe packing
+    # (the guard loop below walks it back if the run table outgrows it).
+    level_star = min(level_star + depth_bias, depth)
     S = 256
     while npad_g // S > 16384:
         S *= 2
@@ -565,6 +576,37 @@ def compute_force_grouped_fast(
         heap_com.append(com)
         heap_cnt.append(cl)
 
+    # ---- near-field WINDOW, snapped to L*-cell boundaries -------------
+    # Each tile evaluates a contiguous window of `window_tiles` body
+    # tiles around itself EXACTLY (pure block DMA, the BVH windowed
+    # trick): the Morton-adjacent open cells that used to dominate the
+    # entry list (measured: 304k entries / 0.49 s of a 0.74 s 2-D step)
+    # become streamed window pairs instead.  The window [lo_t, hi_t) is
+    # snapped to CELL boundaries so the hierarchical exclusion below has
+    # a clean partition: bodies in the window are never also counted by
+    # a far-field monopole or an entry.
+    wt = min(window_tiles, ntiles_g)
+    t_idx = jnp.arange(ntiles, dtype=jnp.int32)
+    tile0 = row0 // tile
+    w0 = jnp.clip(tile0 + t_idx - wt // 2, 0, ntiles_g - wt)
+    w0_body = w0 * tile
+    w1_body = w0_body + wt * tile
+    cell_of_pad = jnp.concatenate(
+        [cellid, jnp.full((npad_g - n,), C, jnp.int32)]  # pads: dead cell C
+    )
+    cs_arr = jnp.cumsum(counts_L) - counts_L          # (C,) cell starts
+    ce_arr = cs_arr + counts_L
+    c0 = cell_of_pad[jnp.clip(w0_body, 0, npad_g - 1)]
+    c1 = cell_of_pad[jnp.clip(w1_body - 1, 0, npad_g - 1)]
+    c0c = jnp.clip(c0, 0, C - 1)
+    c1c = jnp.clip(c1, 0, C - 1)
+    lo_t = jnp.where(cs_arr[c0c] == w0_body, w0_body, ce_arr[c0c])
+    hi_t = jnp.where(
+        c1 >= C, jnp.asarray(n, jnp.int32),           # window tail in pads
+        jnp.where(ce_arr[c1c] == w1_body, w1_body, cs_arr[c1c]),
+    )
+    hi_t = jnp.maximum(hi_t, lo_t)
+
     # ---- dense mask traversal -----------------------------------------
     # MAC width = the cell contents' TRUE max extent (exactly the BVH
     # path's bw semantics, bvh.h:140-144): accept => width/dist < theta,
@@ -572,6 +614,17 @@ def compute_force_grouped_fast(
     # The nominal (anisotropic) cell side never enters -- extents are
     # both tighter (flat cells accept earlier) and robust to the
     # quantile box clamping outliers into edge cells.
+    #
+    # Window partition per level (every level-l node covers a CONTIGUOUS
+    # sorted-body range = a contiguous run of L* cells):
+    #   * fully inside [lo_t, hi_t): DROPPED -- the window evaluates its
+    #     bodies exactly (strictly more accurate than any monopole);
+    #   * straddling a window boundary: acceptance FORBIDDEN (forced
+    #     open; at most ~2 per level per tile) -- its inside part must
+    #     not ride a monopole;
+    #   * fully outside: normal MAC.
+    # At L*, boundary cells are outside the snapped window and behave
+    # normally, so every (body, source) pair is counted exactly once.
     accept_masks = []
     open_mask = jnp.ones((ntiles, 1), jnp.bool_)
     for l in range(level_star + 1):
@@ -582,31 +635,82 @@ def compute_force_grouped_fast(
         dmin2 = jnp.sum(dmin_v * dmin_v, axis=-1)
         width = jnp.max(level_cmax[l] - level_cmin[l], axis=-1)
         weff = jnp.where(heap_cnt[l] > 0, width, 0.0)[None, :]
+        if "sidefloor" in ablate:   # A/B probe: round-2 nominal-side floor
+            weff = jnp.maximum(weff, jnp.max(hi - lo) /
+                               jnp.asarray(float(1 << l), dtype))
         single = (heap_cnt[l] == 1)[None, :]
-        mac = (weff * weff < theta2 * dmin2) | single
-        accept = open_mask & alive & mac
-        open_ = open_mask & alive & ~mac
+        lcnt_l = jnp.cumsum(level_cnt[l])
+        lstart = (lcnt_l - level_cnt[l])[None, :]
+        lend = lcnt_l[None, :]
+        inside = (lstart >= lo_t[:, None]) & (lend <= hi_t[:, None])
+        overlap = (lstart < hi_t[:, None]) & (lend > lo_t[:, None])
+        partial_w = overlap & ~inside
+        mac = ((weff * weff < theta2 * dmin2) | single) & ~partial_w
+        accept = open_mask & alive & mac & ~inside
+        open_ = open_mask & alive & ~mac & ~inside
         accept_masks.append(accept)
         if l < level_star:
             open_mask = jnp.repeat(open_, nbranch, axis=1)
         else:
             open_mask = open_                            # (T, C)
 
+    # SUBTILE monopole re-test (see bvh_group): an open L* cell whose MAC
+    # passes against EVERY sub-tile box of the tile is a valid
+    # theta-monopole for the whole tile and joins the far-field mask;
+    # only the remainder becomes exact near-field entries.
+    skip_mono = "mono" in ablate   # ablation probes only
+    nsub = max(1, min(8, tile // 8))
+    stb = tile // nsub
+    sb_lo = jnp.min(xt_real.reshape(ntiles, nsub, stb, dim), axis=2)
+    sb_hi = jnp.max(xt_real.reshape(ntiles, nsub, stb, dim), axis=2)
+    com_L = heap_com[level_star]
+    w2_L = jnp.where(heap_cnt[level_star] > 0,
+                     jnp.max(cmax_L - cmin_L, axis=-1), 0.0) ** 2
+    min_dmin2 = None
+    for s in range(nsub):
+        d2s = jnp.zeros((ntiles, C), dtype)
+        for d in range(dim):
+            c = com_L[:, d][None, :]
+            dd = jnp.maximum(sb_lo[:, s, d][:, None] - c,
+                             jnp.zeros((), dtype))
+            dd = jnp.maximum(dd, c - sb_hi[:, s, d][:, None])
+            d2s = d2s + dd * dd
+        min_dmin2 = d2s if min_dmin2 is None else jnp.minimum(min_dmin2, d2s)
+    mono = open_mask & (w2_L[None, :] < theta2 * min_dmin2)
+    if not skip_mono:
+        accept_masks[-1] = accept_masks[-1] | mono
+        open_mask = open_mask & ~mono
+
     far_mask = jnp.concatenate(accept_masks, axis=1).astype(dtype)
     mm_heap = jnp.concatenate(heap_mass)
     com_heap = jnp.concatenate(heap_com, axis=0)
-    far = masked_eval_pallas(
-        xp.reshape(npad, dim), mm_heap, com_heap.T, far_mask, float(eps),
-        interpret=interpret, softening="sqrt3",
-    )
+    if "far" in ablate:      # ablation probes only (wrong forces!)
+        far = jnp.zeros((npad, dim), dtype)
+    else:
+        far = masked_eval_pallas(
+            xp.reshape(npad, dim), mm_heap, com_heap.T, far_mask, float(eps),
+            interpret=interpret, softening="sqrt3",
+        )
+
+    # ---- window evaluation (exact bodies in [lo_t, hi_t)) -------------
+    cols_body = w0_body[:, None] + jnp.arange(wt * tile,
+                                              dtype=jnp.int32)[None, :]
+    bmask = ((cols_body >= lo_t[:, None]) &
+             (cols_body < hi_t[:, None])).astype(dtype)
+    if "win" in ablate:      # ablation probes only (wrong forces!)
+        win = jnp.zeros((npad, dim), dtype)
+    else:
+        win = window_eval_pallas(
+            xp.reshape(npad, dim), mp_g, xp_g.T, bmask, w0, float(eps),
+            window_tiles=wt, interpret=interpret, softening="sqrt3",
+        )
+    far = far + win
 
     # ---- global (cell, block) run table -------------------------------
     nblocks = npad_g // S
     bidx = jnp.arange(npad_g, dtype=jnp.int32)
     blockid = bidx // S
-    cell_pad = jnp.concatenate(
-        [cellid, jnp.full((npad_g - n,), C, jnp.int32)]   # pads: dead cell C
-    )
+    cell_pad = cell_of_pad
     pairkey = cell_pad * nblocks + blockid
     is_real = bidx < n
     flags = is_real & jnp.concatenate(
@@ -655,11 +759,14 @@ def compute_force_grouped_fast(
     flat_ent = ((tid_rows << 16) | ent_rows).reshape(-1)
     frank = jnp.cumsum(flat_v.astype(jnp.int32)) - 1
     E_CHUNK = e_chunk
-    # per-tile entry budget: sized from measured galaxy runs (pad entries
-    # skip math but still pay a grid step; overflow falls back to the
-    # exact path, so over-budget slightly)
-    per_tile_est = 180 if dim == 2 else 440
-    n_chunks = max(1, min(16, -(-(ntiles * per_tile_est + ntiles) // E_CHUNK)))
+    # per-tile entry budget: GENEROUS -- all-pad chunks past the actual
+    # entry count are skipped via n_real/lax.cond, so over-budgeting only
+    # costs worst-case memory, while under-budgeting causes fallback
+    # direct sums (measured: the 52-step evolved 2-D galaxy wants ~520k
+    # entries where fresh wants ~300k and the old budget of 393k put 482
+    # tiles into fallback at 2.5 s/step)
+    per_tile_est = 360 if dim == 2 else 560
+    n_chunks = max(1, min(20, -(-(ntiles * per_tile_est + ntiles) // E_CHUNK)))
     E_cap = min(ntiles * (R_slice + 1), n_chunks * E_CHUNK)
     if E_cap > E_CHUNK:          # chunked: round up to whole chunks
         E_cap = -(-E_cap // E_CHUNK) * E_CHUNK
@@ -673,11 +780,17 @@ def compute_force_grouped_fast(
     end_rank = jnp.cumsum(per_tile)
     tile_over = (ent_count > R_slice) | (end_rank > E_cap)
 
-    near = entries_tables_eval_pallas(
-        xp.reshape(npad, dim), mp_g, xp_g.T,
-        entries.reshape(-1, E_CHUNK), gbe_blk, lohi_tbl,
-        float(eps), S=S, tb=tile, interpret=interpret, softening="sqrt3",
-    )
+    if "near" in ablate:     # ablation probes only (wrong forces!)
+        near = jnp.zeros((npad, dim), dtype)
+    elif "nlist" in ablate:  # keep entry-list BUILD, skip only the eval
+        near = jnp.zeros((npad, dim), dtype) + entries.sum().astype(dtype)
+    else:
+        near = entries_tables_eval_pallas(
+            xp.reshape(npad, dim), mp_g, xp_g.T,
+            entries.reshape(-1, E_CHUNK), gbe_blk, lohi_tbl,
+            float(eps), S=S, tb=tile, interpret=interpret, softening="sqrt3",
+            n_real=end_rank[-1],
+        )
 
     acc = far + near
 
@@ -711,6 +824,7 @@ def compute_force_grouped_fast(
         "max_nodes": jnp.max(jnp.minimum(ent_count, R_slice)),
         "max_leaves": jnp.zeros((), jnp.int32),
         "fallback_tiles": n_over,
+        "entries": end_rank[-1],
         "node_overflow": jnp.zeros((), jnp.int32),
         "leaf_overflow": jnp.zeros((), jnp.int32),
     }

@@ -333,13 +333,22 @@ def entries_tables_eval_pallas(
     tb: int,
     interpret: bool = False,
     softening: str = "sqrt3",
+    n_real=None,
 ) -> jnp.ndarray:
     """Chunked table-driven entry evaluation.  entries may be 1-D (one
     call) or 2-D (nchunks, E_chunk): chunks run as separate grid passes
     over the same tables and their partial outputs are SUMMED -- the
     output is zero-initialized via input/output aliasing so tiles absent
     from a chunk contribute nothing.  Entries must be sorted by tile id
-    within and across chunks."""
+    within and across chunks.
+
+    n_real (traced scalar): number of ranked (non-tail-padding) entries.
+    Chunks past it are SKIPPED with lax.cond -- the entry budget E_cap is
+    a static worst case, and pad entries, though they skip the math,
+    still pay a grid step + block DMA each (measured: the pad tail alone
+    dominated the 3-D residual, making every entry-count optimization
+    invisible).  With n_real the cost tracks the ACTUAL entry count at
+    chunk granularity."""
     dim = xi.shape[1]
     ntiles = xi.shape[0] // tb
     dtype = xi.dtype
@@ -384,5 +393,13 @@ def entries_tables_eval_pallas(
 
     out = one_chunk(entries[0])
     for c in range(1, nchunks):
-        out = out + one_chunk(entries[c])
+        if n_real is None:
+            out = out + one_chunk(entries[c])
+        else:
+            out = jax.lax.cond(
+                jnp.asarray(c * E, jnp.int32) < n_real.astype(jnp.int32),
+                lambda o, ch: o + one_chunk(ch),
+                lambda o, ch: o,
+                out, entries[c],
+            )
     return out

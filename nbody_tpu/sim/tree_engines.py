@@ -207,11 +207,14 @@ class OctreeEngine:
 
             return make_sharded_octree_step(cfg, opts)
 
+        wt = opts.window_tiles
+
         @jax.jit
         def step(state: SystemState, k):
             state, _, aux = octree_step_force(state, theta, G, eps, depth,
                                               traversal=trav, group_tile=gtile,
-                                              use_pallas=upal)
+                                              use_pallas=upal,
+                                              window_tiles=wt)
             return leapfrog_step(state, cfg.dt), aux
 
         return step
@@ -319,7 +322,7 @@ class OctreeEngine:
         force_fn = jax.jit(
             lambda ms, xs, ks, lo_r, hi_r: compute_force_grouped_fast(
                 ms, xs, ks, lo_r, hi_r, depth, theta, G, eps,
-                tile=opts.group_tile,
+                tile=opts.group_tile, window_tiles=opts.window_tiles,
                 interpret=(upal == "interpret"),
             )
         )
