@@ -400,7 +400,8 @@ def compute_force_grouped(
 @partial(
     jax.jit,
     static_argnames=("depth", "theta", "G", "eps", "tile", "interpret",
-                     "e_chunk", "nrows", "ablate", "window_tiles"),
+                     "e_chunk", "nrows", "ablate", "window_tiles",
+                     "depth_bias"),
 )
 def compute_force_grouped_fast(
     ms: jnp.ndarray,
@@ -504,7 +505,12 @@ def compute_force_grouped_fast(
     # into the exact fallback, 5.8 s/step; the anisotropic box cannot
     # flatten a rotated plane).  The box IS anisotropic per-dim
     # (robust_quant_box) and the MAC uses true per-cell extents only.
-    occ = 8 if dim == 3 else 1
+    # occupancy factor pushes L* deeper than the uniform-density estimate:
+    # the galaxy is concentrated, so uniform-L* cells in the cores hold
+    # thousands of bodies.  2-D: occ=4 (one level deeper) measured
+    # entries 196k -> 71k fresh / halves the evolved-state entry cost;
+    # 3-D: occ=8 (the 16-bit run-table packing forbids going deeper).
+    occ = 8 if dim == 3 else 4
     level_star = 1
     # size L* from the GLOBAL padded body count: in multi-chip runs the
     # cell grid / run table / S-blocks span all npad_g bodies, so sizing
