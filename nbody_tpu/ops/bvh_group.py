@@ -530,6 +530,11 @@ def compute_force_grouped_windowed(
     while S > tile and level_star < nlevels:
         level_star += 1
         S = 1 << (nlevels - level_star)
+    # DMA block width for the residual entry kernel: the Pallas TPU
+    # lowering needs the last block dim divisible by 128, so tiny trees
+    # (S < 128 at n < ~64k with default s_target) stream 128-wide blocks
+    # and locate the node's S2-range inside them via the lo/hi table
+    Sd = max(S, min(128, npad_g))
     if refine_levels is None:
         # measured at n=1M galaxy (both dims): refinement is strictly
         # COUNTERPRODUCTIVE here -- implicit-BVH children halve the BODY
@@ -660,12 +665,22 @@ def compute_force_grouped_windowed(
     com_res = mx[lvl2:lvl2 + nodes_res]
     w2_res = bw[lvl2:lvl2 + nodes_res] ** 2
     min_dmin2 = None
+    passcnt = jnp.zeros((ntiles, nodes_res), jnp.int32)
     for s in range(nsub):
         dv = jnp.maximum(sb_lo[:, s, None, :] - com_res[None],
                          jnp.zeros((), dtype))
         dv = jnp.maximum(dv, com_res[None] - sb_hi[:, s, None, :])
         d2s = jnp.sum(dv * dv, axis=-1)
         min_dmin2 = d2s if min_dmin2 is None else jnp.minimum(min_dmin2, d2s)
+        passcnt = passcnt + (w2_res[None, :] < theta2 * d2s).astype(jnp.int32)
+    # diagnostics (DCE'd when the caller ignores them): per-subtile MAC
+    # pass distribution over the residual pairs -- how much of the
+    # whole-tile exact evaluation a per-subtile split would retire
+    diag_pairs = jnp.sum(out_open, dtype=jnp.int32)
+    diag_pass_hist = [
+        jnp.sum(out_open & (passcnt == k), dtype=jnp.int32)
+        for k in range(nsub + 1)
+    ]
     mono = out_open & (w2_res[None, :] < theta2 * min_dmin2)
     accept_masks[-1] = accept_masks[-1] | mono
     out_open = out_open & ~mono
@@ -696,9 +711,10 @@ def compute_force_grouped_windowed(
     slot = jnp.arange(R_slice, dtype=jnp.int32)[None, :]
     vmask = slot < jnp.minimum(out_count, R_slice)[:, None]
     pad_gbe = nodes_res
+    row0_arr = res_ids * S2                   # node's first sorted row
     blk_tbl = jnp.concatenate(
-        [res_ids >> ref_lv, jnp.zeros((1,), jnp.int32)])
-    lo_arr = (res_ids & ((1 << ref_lv) - 1)) * S2
+        [row0_arr // Sd, jnp.zeros((1,), jnp.int32)])
+    lo_arr = row0_arr % Sd                    # S2 <= Sd: never straddles
     lohi_tbl = jnp.concatenate(
         [lo_arr | ((lo_arr + S2) << 16), jnp.zeros((1,), jnp.int32)])
     nid_rows = jnp.concatenate(
@@ -739,15 +755,19 @@ def compute_force_grouped_windowed(
         resid = entries_tables_eval_pallas(
             xp.reshape(npad, dim), mp_g, xp_g.T,
             entries.reshape(-1, E_CHUNK), blk_tbl, lohi_tbl,
-            float(eps), S=S, tb=tile, interpret=interpret, softening="poly",
+            float(eps), S=Sd, tb=tile, interpret=interpret, softening="poly",
             n_real=end_rank[-1],
         )
 
     acc = far + near + resid
-    return _finish_grouped(
+    a, info = _finish_grouped(
         acc, xt, tile_over, out_count, jnp.zeros_like(out_count),
         jnp.zeros_like(out_count), jnp.zeros_like(out_count),
         m, x, n, ntiles, tile, npad, out_rows, dtype, epsv, Gv,
         pallas_fb=("interpret" if interpret else True), eps_f=float(eps),
         n_entries=end_rank[-1],
     )
+    info["res_pairs"] = diag_pairs
+    for k, v in enumerate(diag_pass_hist):
+        info[f"res_pass_{k}"] = v
+    return a, info
