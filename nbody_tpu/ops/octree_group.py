@@ -826,11 +826,17 @@ def compute_force_grouped_fast(
         (jnp.zeros((), n_over.dtype), acc),
     )[1]
 
+    # diagnostics (DCE'd when the caller ignores them): how much exact
+    # body mass the open cells carry vs the S-block slots entries pay for
+    open_mass = jnp.sum(jnp.where(open_mask, counts_L[None, :], 0),
+                        dtype=jnp.int32)
     info = {
         "max_nodes": jnp.max(jnp.minimum(ent_count, R_slice)),
         "max_leaves": jnp.zeros((), jnp.int32),
         "fallback_tiles": n_over,
         "entries": end_rank[-1],
+        "open_cells": jnp.sum(open_mask, dtype=jnp.int32),
+        "open_mass": open_mass,
         "node_overflow": jnp.zeros((), jnp.int32),
         "leaf_overflow": jnp.zeros((), jnp.int32),
     }

@@ -272,6 +272,97 @@ def window_eval_pallas(
     return out
 
 
+def _group_shared_masked_kernel(dim, eps, softening, G, xi_ref, xjt_ref,
+                                mj_ref, mask_ref, out_ref):
+    """Per-tile mask over a SHARED per-supertile j-list (j blocks are
+    indexed by t // G, the mask by t)."""
+    c = pl.program_id(1)
+
+    @pl.when(c == 0)
+    def _():
+        out_ref[:, :] = jnp.zeros_like(out_ref)
+
+    xi = xi_ref[:, :]
+    eps_v = jnp.asarray(eps, xi.dtype)
+    dx = []
+    d2 = None
+    for d in range(dim):
+        xd = xjt_ref[0, d, :][None, :] - xi[:, d][:, None]
+        dx.append(xd)
+        d2 = xd * xd if d2 is None else d2 + xd * xd
+    if softening == "poly":
+        t = d2 * jnp.sqrt(d2) + eps_v
+    else:
+        s = jnp.sqrt(d2) + eps_v
+        t = s * s * s
+    r = pl.reciprocal(t, approx=True)
+    r = r * (jnp.asarray(2.0, xi.dtype) - t * r)
+    w = (mask_ref[0, 0, :] * mj_ref[0, 0, :])[None, :] * r
+    for d in range(dim):
+        out_ref[:, d] += jnp.sum(w * dx[d], axis=1)
+
+
+@functools.partial(
+    jax.jit, static_argnames=("eps", "G", "tile_j", "interpret", "softening")
+)
+def group_shared_masked_eval_pallas(
+    xi: jnp.ndarray,
+    mj: jnp.ndarray,
+    xjt: jnp.ndarray,
+    mask: jnp.ndarray,
+    eps: float,
+    G: int,
+    tile_j: int = 1024,
+    interpret: bool = False,
+    softening: str = "poly",
+) -> jnp.ndarray:
+    """Monopole evaluation for the sparse-descent near field: each
+    SUPERTILE of G consecutive body tiles shares one gathered monopole
+    list; each member tile applies its own accept mask.
+
+    xi   (ntiles*TB, dim)      tile bodies
+    mj   (nsuper, M)           per-supertile monopole masses (0 = pad)
+    xjt  (nsuper, dim, M)      per-supertile monopole positions
+    mask (ntiles, M)           1.0 where accepted for this member tile
+
+    The j-data streams once per supertile (grid-minor reuse), so the
+    gather cost of list building is amortized G ways while acceptance
+    stays per-tile (descent accepts differ between members)."""
+    nsuper, dim, M = xjt.shape
+    ntiles = mask.shape[0]
+    tb = xi.shape[0] // ntiles
+    dtype = xi.dtype
+    if nsuper * G != ntiles:
+        raise ValueError("ntiles must equal nsuper * G")
+    Mp = _round_up(M, tile_j)
+    if Mp != M:
+        mj = jnp.pad(mj, ((0, 0), (0, Mp - M)))
+        xjt = jnp.pad(xjt, ((0, 0), (0, 0), (0, Mp - M)))
+        mask = jnp.pad(mask, ((0, 0), (0, Mp - M)))
+
+    kernel = functools.partial(_group_shared_masked_kernel, dim, float(eps),
+                               softening, G)
+    out = pl.pallas_call(
+        kernel,
+        grid=(ntiles, Mp // tile_j),
+        in_specs=[
+            pl.BlockSpec((tb, dim), lambda t, c: (t, 0)),
+            pl.BlockSpec((1, dim, tile_j), lambda t, c: (t // G, 0, c)),
+            pl.BlockSpec((1, 1, tile_j), lambda t, c: (t // G, 0, c)),
+            pl.BlockSpec((1, 1, tile_j), lambda t, c: (t, 0, c)),
+        ],
+        out_specs=pl.BlockSpec((tb, dim), lambda t, c: (t, 0)),
+        out_shape=jax.ShapeDtypeStruct((ntiles * tb, dim), dtype),
+        cost_estimate=pl.CostEstimate(
+            flops=int(13 * ntiles * tb) * int(Mp),
+            bytes_accessed=int(ntiles * (tb + 2 * Mp) * dim * 4),
+            transcendentals=int(ntiles * tb) * int(Mp),
+        ),
+        interpret=interpret,
+    )(xi, xjt, mj[:, None, :], mask[:, None, :])
+    return out
+
+
 def _entries_tables_kernel(dim, eps, softening, S, ent_ref, blk_ref,
                            lohi_ref, xi_ref, xjt_ref, mj_ref, init_ref,
                            out_ref):
@@ -316,6 +407,123 @@ def _entries_tables_kernel(dim, eps, softening, S, ent_ref, blk_ref,
         w = (sel * mj_ref[0, :][None, :]) * r
         for d in range(dim):
             out_ref[:, d] += jnp.sum(w * dx[d], axis=1)
+
+
+def _entries_lohi_kernel(dim, eps, softening, S, ent_ref, lohi_ref,
+                         xi_ref, xjt_ref, mj_ref, init_ref, out_ref):
+    """Self-describing entry evaluation (sparse-descent near field): each
+    entry carries its own j block id (tile_id << 16 | blk) and [lo, hi)
+    subrange (lo | hi << 16) -- no run-table indirection, so entries can
+    reference ARBITRARY body subranges (deep-cell ranges straddle block
+    boundaries).  lo == hi is the padding sentinel."""
+    e = pl.program_id(0)
+    ent = ent_ref[e]
+    tid = ent >> 16
+    prev = ent_ref[jnp.maximum(e - 1, 0)] >> 16
+
+    @pl.when((e == 0) | (tid != prev))
+    def _():
+        out_ref[:, :] = jnp.zeros_like(out_ref)
+
+    lohi = lohi_ref[e]
+    lo = lohi & 0xFFFF
+    hi = lohi >> 16
+
+    @pl.when(hi > lo)
+    def _():
+        xi = xi_ref[:, :]
+        eps_v = jnp.asarray(eps, xi.dtype)
+        lane = jax.lax.broadcasted_iota(jnp.int32, (1, S), 1)
+        sel = ((lane >= lo) & (lane < hi)).astype(xi.dtype)
+        dx = []
+        d2 = None
+        for d in range(dim):
+            xd = xjt_ref[d, :][None, :] - xi[:, d][:, None]
+            dx.append(xd)
+            d2 = xd * xd if d2 is None else d2 + xd * xd
+        if softening == "poly":
+            t = d2 * jnp.sqrt(d2) + eps_v
+        else:
+            s = jnp.sqrt(d2) + eps_v
+            t = s * s * s
+        r = pl.reciprocal(t, approx=True)
+        r = r * (jnp.asarray(2.0, xi.dtype) - t * r)
+        w = (sel * mj_ref[0, :][None, :]) * r
+        for d in range(dim):
+            out_ref[:, d] += jnp.sum(w * dx[d], axis=1)
+
+
+@functools.partial(
+    jax.jit, static_argnames=("eps", "S", "tb", "interpret", "softening")
+)
+def entries_lohi_eval_pallas(
+    xi: jnp.ndarray,
+    mj: jnp.ndarray,
+    xjt: jnp.ndarray,
+    entries: jnp.ndarray,
+    lohis: jnp.ndarray,
+    eps: float,
+    S: int,
+    tb: int,
+    interpret: bool = False,
+    softening: str = "poly",
+    n_real=None,
+) -> jnp.ndarray:
+    """Chunked self-describing entry evaluation (see the kernel).  entries
+    and lohis are 1-D or (nchunks, E); entries must be sorted by tile id,
+    with a per-tile sentinel (lo == hi) leading each tile's run.  Chunks
+    past n_real are skipped with lax.cond (they are all padding)."""
+    dim = xi.shape[1]
+    ntiles = xi.shape[0] // tb
+    dtype = xi.dtype
+    if entries.ndim == 1:
+        entries = entries[None, :]
+        lohis = lohis[None, :]
+    nchunks, E = entries.shape
+
+    kernel = functools.partial(_entries_lohi_kernel, dim, float(eps),
+                               softening, S)
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=2,
+        grid=(E,),
+        in_specs=[
+            pl.BlockSpec((tb, dim), lambda e, ent, lh: (ent[e] >> 16, 0)),
+            pl.BlockSpec((dim, S), lambda e, ent, lh: (0, ent[e] & 0xFFFF)),
+            pl.BlockSpec((1, S), lambda e, ent, lh: (0, ent[e] & 0xFFFF)),
+            pl.BlockSpec(memory_space=pl.ANY),
+        ],
+        out_specs=pl.BlockSpec((tb, dim), lambda e, ent, lh:
+                               (ent[e] >> 16, 0)),
+    )
+
+    def one_chunk(ent_chunk, lohi_chunk):
+        init = jnp.zeros((ntiles * tb, dim), dtype)
+        return pl.pallas_call(
+            kernel,
+            grid_spec=grid_spec,
+            out_shape=jax.ShapeDtypeStruct((ntiles * tb, dim), dtype),
+            input_output_aliases={5: 0},
+            cost_estimate=pl.CostEstimate(
+                flops=int(13 * tb) * int(E) * int(S),
+                bytes_accessed=int(E * (tb + S) * dim * 4),
+                transcendentals=int(tb) * int(E) * int(S),
+            ),
+            interpret=interpret,
+        )(ent_chunk.astype(jnp.int32), lohi_chunk.astype(jnp.int32),
+          xi, xjt, mj.reshape(1, -1), init)
+
+    out = one_chunk(entries[0], lohis[0])
+    for c in range(1, nchunks):
+        if n_real is None:
+            out = out + one_chunk(entries[c], lohis[c])
+        else:
+            out = jax.lax.cond(
+                jnp.asarray(c * E, jnp.int32) < n_real.astype(jnp.int32),
+                lambda o, ch, lh: o + one_chunk(ch, lh),
+                lambda o, ch, lh: o,
+                out, entries[c], lohis[c],
+            )
+    return out
 
 
 @functools.partial(
