@@ -383,11 +383,13 @@ def tree_size_from_keys(ks: jnp.ndarray, depth: int, dim: int) -> jnp.ndarray:
 
 
 @partial(jax.jit, static_argnames=("theta", "G", "eps", "depth", "traversal", "use_pallas",
-                                   "group_tile", "window_tiles"))
+                                   "group_tile", "window_tiles",
+                                   "descend_levels", "descend_caps"))
 def octree_step_force(state: SystemState, theta: float, G: float, eps: float,
                       depth: int, traversal: str = "group",
                       group_tile: int = 512, use_pallas: bool = False,
-                      window_tiles: int = 32):
+                      window_tiles: int = 32, descend_levels: int = 0,
+                      descend_caps: tuple = (1024, 1024, 2048)):
     """One octree force evaluation: bounds -> morton sort -> segmented build
     -> MAC traversal -> scatter back to original body order (the kernel
     sequence of run_octree, octree.h:321-328, minus clear/insert which do
@@ -408,6 +410,7 @@ def octree_step_force(state: SystemState, theta: float, G: float, eps: float,
             ms, xs, ks, lo_r, hi_r, depth, theta, G, eps, tile=group_tile,
             window_tiles=window_tiles,
             interpret=(use_pallas == "interpret"),
+            descend_levels=descend_levels, descend_caps=descend_caps,
         )
         tree_size = tree_size_from_keys(ks, depth, state.x.shape[1])
         a = jnp.zeros_like(a_sorted).at[perm].set(a_sorted)

@@ -401,7 +401,8 @@ def compute_force_grouped(
     jax.jit,
     static_argnames=("depth", "theta", "G", "eps", "tile", "interpret",
                      "e_chunk", "nrows", "ablate", "window_tiles",
-                     "depth_bias"),
+                     "depth_bias", "descend_levels", "descend_G",
+                     "descend_caps", "descend_maxb"),
 )
 def compute_force_grouped_fast(
     ms: jnp.ndarray,
@@ -421,6 +422,10 @@ def compute_force_grouped_fast(
     ablate: str = "",
     window_tiles: int = 32,
     depth_bias: int = 0,
+    descend_levels: int = 0,
+    descend_G: int = 8,
+    descend_caps: tuple = (1024, 1024, 2048),
+    descend_maxb: int = 4,
 ):
     """Gather-free grouped octree force (fp32 TPU fast path).
 
@@ -542,20 +547,38 @@ def compute_force_grouped_fast(
                          "increase tile or use the list path")
 
     # ---- dense prefix heap, levels 0..L* ------------------------------
-    shift = jnp.uint32((depth - level_star) * dim)
-    cellid = (keys >> shift).astype(jnp.int32)           # (n,)
+    # With descend_levels > 0 the scatter happens ONCE at the deepest
+    # descent level L* + r_levels and the shallower levels (including
+    # the L* arrays) come from reshape-sum pooling -- scatter cost is
+    # update-bound (~n per field), so deep stats are nearly free.
+    r_levels = 0
+    if descend_levels:
+        r_levels = min(level_star + descend_levels, depth) - level_star
+    shift_d = jnp.uint32((depth - level_star - r_levels) * dim)
+    cid_d = (keys >> shift_d).astype(jnp.int32)          # (n,)
+    Cd = 1 << (dim * (level_star + r_levels))
     ones = jnp.ones((n,), jnp.int32)
-    counts_L = jnp.zeros((C,), jnp.int32).at[cellid].add(ones)
-    m_L = jnp.zeros((C,), dtype).at[cellid].add(ms)
-    mx_L = jnp.zeros((C, dim), dtype).at[cellid].add(ms[:, None] * xs)
     # true per-cell coordinate extents: the quantization box may be a
     # ROBUST (quantile) box, with outliers clamped into edge cells -- the
     # MAC must then use the cells' ACTUAL spread, not the nominal side
     # (otherwise an escaper-contaminated edge cell would be accepted as
     # if it were side-sized)
     big = jnp.asarray(3.4e38, dtype)
-    cmin_L = jnp.full((C, dim), big, dtype).at[cellid].min(xs)
-    cmax_L = jnp.full((C, dim), -big, dtype).at[cellid].max(xs)
+    cnt_l = jnp.zeros((Cd,), jnp.int32).at[cid_d].add(ones)
+    m_l = jnp.zeros((Cd,), dtype).at[cid_d].add(ms)
+    mx_l = jnp.zeros((Cd, dim), dtype).at[cid_d].add(ms[:, None] * xs)
+    cmin_l = jnp.full((Cd, dim), big, dtype).at[cid_d].min(xs)
+    cmax_l = jnp.full((Cd, dim), -big, dtype).at[cid_d].max(xs)
+    deep_stats = {r_levels: (cnt_l, m_l, mx_l, cmin_l, cmax_l)}
+    for r in range(r_levels - 1, -1, -1):
+        cnt_l = cnt_l.reshape(-1, nbranch).sum(1)
+        m_l = m_l.reshape(-1, nbranch).sum(1)
+        mx_l = mx_l.reshape(-1, nbranch, dim).sum(1)
+        cmin_l = cmin_l.reshape(-1, nbranch, dim).min(1)
+        cmax_l = cmax_l.reshape(-1, nbranch, dim).max(1)
+        deep_stats[r] = (cnt_l, m_l, mx_l, cmin_l, cmax_l)
+    counts_L, m_L, mx_L, cmin_L, cmax_L = deep_stats[0]
+    cellid = cid_d >> jnp.uint32(r_levels * dim)         # (n,) at L*
 
     level_mass = [m_L]
     level_cnt = [counts_L]
@@ -712,91 +735,248 @@ def compute_force_grouped_fast(
         )
     far = far + win
 
-    # ---- global (cell, block) run table -------------------------------
-    nblocks = npad_g // S
-    bidx = jnp.arange(npad_g, dtype=jnp.int32)
-    blockid = bidx // S
-    cell_pad = cell_of_pad
-    pairkey = cell_pad * nblocks + blockid
-    is_real = bidx < n
-    flags = is_real & jnp.concatenate(
-        [jnp.ones((1,), jnp.bool_), pairkey[1:] != pairkey[:-1]]
-    )
-    rank = jnp.cumsum(flags.astype(jnp.int32)) - 1
-    GBE_cap = C + nblocks                                # static bound
-    drop = jnp.where(flags, rank, GBE_cap)
-    gbe_pk = jnp.full((GBE_cap + 1,), C * nblocks, jnp.int32).at[drop].set(
-        pairkey, mode="drop")
-    gbe_start = jnp.full((GBE_cap + 1,), 0, jnp.int32).at[drop].set(
-        bidx, mode="drop")
-    n_gbe = rank[-1] + 1
-    gi = jnp.arange(GBE_cap + 1, dtype=jnp.int32)
-    # run end = next run's start (n for the last real run)
-    gbe_end = jnp.where(
-        gi + 1 < n_gbe, jnp.roll(gbe_start, -1), jnp.asarray(n, jnp.int32)
-    )
-    gbe_valid = gi < n_gbe
-    gbe_cell = jnp.where(gbe_valid, gbe_pk // nblocks, C)
-    gbe_blk = jnp.where(gbe_valid, gbe_pk % nblocks, 0)
-    g_lo = jnp.where(gbe_valid, gbe_start - gbe_blk * S, 0)
-    g_hi = jnp.where(gbe_valid, gbe_end - gbe_blk * S, 0)
-    lohi_tbl = g_lo | (g_hi << 16)
-
-    # ---- per-tile entry lists -----------------------------------------
-    open_c = jnp.concatenate(
-        [open_mask, jnp.zeros((ntiles, 1), jnp.bool_)], axis=1)  # cell C dead
-    open_gbe = jnp.take(open_c, gbe_cell, axis=1)         # shared-index cols
-    R_slice = min(GBE_cap + 1, 2048)
-    BIGK = jnp.asarray(1 << 30, jnp.int32)
-    gkey = jnp.where(open_gbe, gi[None, :], BIGK)
-    sorted_g = jnp.sort(gkey, axis=1)[:, :R_slice]        # (T, R)
-    ent_count = jnp.sum(open_gbe, axis=1).astype(jnp.int32)
-    slot = jnp.arange(R_slice, dtype=jnp.int32)[None, :]
-    vmask = slot < jnp.minimum(ent_count, R_slice)[:, None]
-    pad_gbe = GBE_cap                                     # lo==hi: no-op
-    t_idx = jnp.arange(ntiles, dtype=jnp.int32)
-    ent_rows = jnp.where(vmask, sorted_g, pad_gbe)
-    ent_rows = jnp.concatenate(
-        [jnp.full((ntiles, 1), pad_gbe, jnp.int32), ent_rows], axis=1)
-    vflag = jnp.concatenate(
-        [jnp.ones((ntiles, 1), jnp.bool_), vmask], axis=1)
-    tid_rows = jnp.broadcast_to(t_idx[:, None], vflag.shape).astype(jnp.int32)
-    flat_v = vflag.reshape(-1)
-    flat_ent = ((tid_rows << 16) | ent_rows).reshape(-1)
-    frank = jnp.cumsum(flat_v.astype(jnp.int32)) - 1
-    E_CHUNK = e_chunk
-    # per-tile entry budget: GENEROUS -- all-pad chunks past the actual
-    # entry count are skipped via n_real/lax.cond, so over-budgeting only
-    # costs worst-case memory, while under-budgeting causes fallback
-    # direct sums (measured: the 52-step evolved 2-D galaxy wants ~520k
-    # entries where fresh wants ~300k and the old budget of 393k put 482
-    # tiles into fallback at 2.5 s/step)
-    per_tile_est = 360 if dim == 2 else 560
-    n_chunks = max(1, min(20, -(-(ntiles * per_tile_est + ntiles) // E_CHUNK)))
-    E_cap = min(ntiles * (R_slice + 1), n_chunks * E_CHUNK)
-    if E_cap > E_CHUNK:          # chunked: round up to whole chunks
-        E_cap = -(-E_cap // E_CHUNK) * E_CHUNK
-    else:                        # small runs: one exact-size chunk
-        E_CHUNK = E_cap
-    pad_entry = ((ntiles - 1) << 16) | pad_gbe
-    entries = jnp.full((E_cap,), pad_entry, jnp.int32).at[
-        jnp.where(flat_v, frank, E_cap)
-    ].set(flat_ent, mode="drop")
-    per_tile = 1 + jnp.minimum(ent_count, R_slice)
-    end_rank = jnp.cumsum(per_tile)
-    tile_over = (ent_count > R_slice) | (end_rank > E_cap)
-
-    if "near" in ablate:     # ablation probes only (wrong forces!)
-        near = jnp.zeros((npad, dim), dtype)
-    elif "nlist" in ablate:  # keep entry-list BUILD, skip only the eval
-        near = jnp.zeros((npad, dim), dtype) + entries.sum().astype(dtype)
-    else:
-        near = entries_tables_eval_pallas(
-            xp.reshape(npad, dim), mp_g, xp_g.T,
-            entries.reshape(-1, E_CHUNK), gbe_blk, lohi_tbl,
-            float(eps), S=S, tb=tile, interpret=interpret, softening="sqrt3",
-            n_real=end_rank[-1],
+    if r_levels == 0:
+        desc_diag = {}
+        # ---- global (cell, block) run table -------------------------------
+        nblocks = npad_g // S
+        bidx = jnp.arange(npad_g, dtype=jnp.int32)
+        blockid = bidx // S
+        cell_pad = cell_of_pad
+        pairkey = cell_pad * nblocks + blockid
+        is_real = bidx < n
+        flags = is_real & jnp.concatenate(
+            [jnp.ones((1,), jnp.bool_), pairkey[1:] != pairkey[:-1]]
         )
+        rank = jnp.cumsum(flags.astype(jnp.int32)) - 1
+        GBE_cap = C + nblocks                                # static bound
+        drop = jnp.where(flags, rank, GBE_cap)
+        gbe_pk = jnp.full((GBE_cap + 1,), C * nblocks, jnp.int32).at[drop].set(
+            pairkey, mode="drop")
+        gbe_start = jnp.full((GBE_cap + 1,), 0, jnp.int32).at[drop].set(
+            bidx, mode="drop")
+        n_gbe = rank[-1] + 1
+        gi = jnp.arange(GBE_cap + 1, dtype=jnp.int32)
+        # run end = next run's start (n for the last real run)
+        gbe_end = jnp.where(
+            gi + 1 < n_gbe, jnp.roll(gbe_start, -1), jnp.asarray(n, jnp.int32)
+        )
+        gbe_valid = gi < n_gbe
+        gbe_cell = jnp.where(gbe_valid, gbe_pk // nblocks, C)
+        gbe_blk = jnp.where(gbe_valid, gbe_pk % nblocks, 0)
+        g_lo = jnp.where(gbe_valid, gbe_start - gbe_blk * S, 0)
+        g_hi = jnp.where(gbe_valid, gbe_end - gbe_blk * S, 0)
+        lohi_tbl = g_lo | (g_hi << 16)
+
+        # ---- per-tile entry lists -----------------------------------------
+        open_c = jnp.concatenate(
+            [open_mask, jnp.zeros((ntiles, 1), jnp.bool_)], axis=1)  # cell C dead
+        open_gbe = jnp.take(open_c, gbe_cell, axis=1)         # shared-index cols
+        R_slice = min(GBE_cap + 1, 2048)
+        BIGK = jnp.asarray(1 << 30, jnp.int32)
+        gkey = jnp.where(open_gbe, gi[None, :], BIGK)
+        sorted_g = jnp.sort(gkey, axis=1)[:, :R_slice]        # (T, R)
+        ent_count = jnp.sum(open_gbe, axis=1).astype(jnp.int32)
+        slot = jnp.arange(R_slice, dtype=jnp.int32)[None, :]
+        vmask = slot < jnp.minimum(ent_count, R_slice)[:, None]
+        pad_gbe = GBE_cap                                     # lo==hi: no-op
+        t_idx = jnp.arange(ntiles, dtype=jnp.int32)
+        ent_rows = jnp.where(vmask, sorted_g, pad_gbe)
+        ent_rows = jnp.concatenate(
+            [jnp.full((ntiles, 1), pad_gbe, jnp.int32), ent_rows], axis=1)
+        vflag = jnp.concatenate(
+            [jnp.ones((ntiles, 1), jnp.bool_), vmask], axis=1)
+        tid_rows = jnp.broadcast_to(t_idx[:, None], vflag.shape).astype(jnp.int32)
+        flat_v = vflag.reshape(-1)
+        flat_ent = ((tid_rows << 16) | ent_rows).reshape(-1)
+        frank = jnp.cumsum(flat_v.astype(jnp.int32)) - 1
+        E_CHUNK = e_chunk
+        # per-tile entry budget: GENEROUS -- all-pad chunks past the actual
+        # entry count are skipped via n_real/lax.cond, so over-budgeting only
+        # costs worst-case memory, while under-budgeting causes fallback
+        # direct sums (measured: the 52-step evolved 2-D galaxy wants ~520k
+        # entries where fresh wants ~300k and the old budget of 393k put 482
+        # tiles into fallback at 2.5 s/step)
+        per_tile_est = 360 if dim == 2 else 560
+        n_chunks = max(1, min(20, -(-(ntiles * per_tile_est + ntiles) // E_CHUNK)))
+        E_cap = min(ntiles * (R_slice + 1), n_chunks * E_CHUNK)
+        if E_cap > E_CHUNK:          # chunked: round up to whole chunks
+            E_cap = -(-E_cap // E_CHUNK) * E_CHUNK
+        else:                        # small runs: one exact-size chunk
+            E_CHUNK = E_cap
+        pad_entry = ((ntiles - 1) << 16) | pad_gbe
+        entries = jnp.full((E_cap,), pad_entry, jnp.int32).at[
+            jnp.where(flat_v, frank, E_cap)
+        ].set(flat_ent, mode="drop")
+        per_tile = 1 + jnp.minimum(ent_count, R_slice)
+        end_rank = jnp.cumsum(per_tile)
+        tile_over = (ent_count > R_slice) | (end_rank > E_cap)
+
+        if "near" in ablate:     # ablation probes only (wrong forces!)
+            near = jnp.zeros((npad, dim), dtype)
+        elif "nlist" in ablate:  # keep entry-list BUILD, skip only the eval
+            near = jnp.zeros((npad, dim), dtype) + entries.sum().astype(dtype)
+        else:
+            near = entries_tables_eval_pallas(
+                xp.reshape(npad, dim), mp_g, xp_g.T,
+                entries.reshape(-1, E_CHUNK), gbe_blk, lohi_tbl,
+                float(eps), S=S, tb=tile, interpret=interpret, softening="sqrt3",
+                n_real=end_rank[-1],
+            )
+    else:
+        # ---- sparse supertile descent below L* ------------------------
+        # Measured (scripts/probe_diag3.py, n=1M 3-D galaxy theta=0.5):
+        # open L* cells carry ~77k exact bodies per 512-body tile -- the
+        # near field is MASS-bound, and the reference's per-body walk
+        # (octree.h:236-247) would evaluate most of that mass as DEEPER
+        # monopoles.  Descend the open set r_levels below L* sparsely
+        # (ops/tree_descend.py): supertiles of descend_G tiles share one
+        # compacted list, per-member-tile MAC over true child extents,
+        # accepted children stream as shared monopole lists, and only
+        # the final survivors become exact [lo, hi) entries.
+        from nbody_tpu.ops.pallas_group_eval import (
+            entries_lohi_eval_pallas,
+            group_shared_masked_eval_pallas,
+        )
+        from nbody_tpu.ops.tree_descend import supertile_descend
+
+        Gd = descend_G
+        k0_cap, k_cap, m_cap = descend_caps
+        Ts = -(-ntiles // Gd)
+        Tp_s = Ts * Gd
+        tminp = jnp.pad(tmin, ((0, Tp_s - ntiles), (0, 0))) \
+            .reshape(Ts, Gd, dim)
+        tmaxp = jnp.pad(tmax, ((0, Tp_s - ntiles), (0, 0))) \
+            .reshape(Ts, Gd, dim)
+        tiny = jnp.asarray(1e-30, dtype)
+        starts_lvl = {
+            r: jnp.cumsum(deep_stats[r][0]) - deep_stats[r][0]
+            for r in range(1, r_levels + 1)
+        }
+
+        def mac_fn(r, ch):
+            cnt_r, m_r, mx_r, cmin_r, cmax_r = deep_stats[r]
+            idc = jnp.clip(ch, 0, cnt_r.shape[0] - 1)
+            cnt = cnt_r[idc]
+            alive = cnt > 0
+            msafe = jnp.maximum(m_r[idc], tiny)
+            width = None
+            dmin2 = jnp.zeros((Ts, Gd, ch.shape[1]), dtype)
+            for d in range(dim):
+                wd = cmax_r[:, d][idc] - cmin_r[:, d][idc]
+                width = wd if width is None else jnp.maximum(width, wd)
+                com_d = mx_r[:, d][idc] / msafe
+                dd = jnp.maximum(
+                    tminp[:, :, d][:, :, None] - com_d[:, None, :],
+                    jnp.zeros((), dtype))
+                dd = jnp.maximum(
+                    dd, com_d[:, None, :] - tmaxp[:, :, d][:, :, None])
+                dmin2 = dmin2 + dd * dd
+            weff = jnp.where(alive, width, jnp.zeros((), dtype))
+            accept = (weff * weff)[:, None, :] < theta2 * dmin2
+            accept = accept | (cnt == 1)[:, None, :]
+            return {"accept": accept, "alive": alive}
+
+        def mono_fn(r, mids):
+            # single-body demotion: a count-1 cell's monopole is the
+            # exact body (octree.h:130-148), via the cell's start row
+            cnt_r, m_r, mx_r, _, _ = deep_stats[r]
+            idc = jnp.clip(mids, 0, cnt_r.shape[0] - 1)
+            mass = m_r[idc]
+            cnt = cnt_r[idc]
+            sb = jnp.clip(starts_lvl[r][idc], 0, n - 1)
+            msafe = jnp.maximum(mass, tiny)
+            com = jnp.stack(
+                [jnp.where(cnt == 1, xs[:, d][sb], mx_r[:, d][idc] / msafe)
+                 for d in range(dim)], axis=-1)
+            return mass, com
+
+        res = supertile_descend(
+            open_mask, nbranch, r_levels, Gd,
+            k0=k0_cap, k_caps=[k_cap] * r_levels,
+            m_caps=[m_cap] * r_levels, mac_fn=mac_fn, mono_fn=mono_fn)
+
+        mono_far = group_shared_masked_eval_pallas(
+            xp.reshape(npad, dim), res.mono_mass,
+            jnp.swapaxes(res.mono_com, 1, 2),
+            res.mono_mask[:ntiles], float(eps), Gd,
+            interpret=interpret, softening="sqrt3")
+
+        # final survivors -> self-describing exact [lo, hi) entries
+        cnt_d_arr = deep_stats[r_levels][0]
+        starts_d = starts_lvl[r_levels]
+        Kf = res.final_ids.shape[1]
+        fidc = jnp.clip(res.final_ids, 0, Cd - 1)
+        fst = jnp.where(res.final_valid, starts_d[fidc], 0)
+        fend = fst + jnp.where(res.final_valid, cnt_d_arr[fidc], 0)
+        gsel = jnp.arange(Gd, dtype=jnp.int32)
+        memb = ((res.final_bits[:, None, :] >> gsel[None, :, None]) & 1) > 0
+        stm = jnp.broadcast_to(fst[:, None, :], (Ts, Gd, Kf)) \
+            .reshape(Tp_s, Kf)[:ntiles]
+        enm = jnp.broadcast_to(fend[:, None, :], (Ts, Gd, Kf)) \
+            .reshape(Tp_s, Kf)[:ntiles]
+        mem = memb.reshape(Tp_s, Kf)[:ntiles]
+        nblocks = npad_g // S
+        b0 = stm // S
+        # a final cell spanning > descend_maxb S-blocks overflows its
+        # member tiles into the exact fallback (truncation impossible)
+        cell_over = mem & (enm > (b0 + descend_maxb) * S)
+        ent_cols, lohi_cols, val_cols = [], [], []
+        for b in range(descend_maxb):
+            blk_u = b0 + b               # unclamped: drives the [lo, hi)
+            blk = jnp.minimum(blk_u, nblocks - 1)   # clamped DMA index only
+            lo_b = jnp.clip(stm - blk_u * S, 0, S)
+            hi_b = jnp.clip(enm - blk_u * S, 0, S)  # empty past the end
+            ent_cols.append((t_idx[:, None] << 16) | blk)
+            lohi_cols.append(lo_b | (hi_b << 16))
+            val_cols.append(mem & (hi_b > lo_b))
+        sent = t_idx[:, None] << 16                    # lo==hi sentinel
+        entm = jnp.concatenate([sent] + ent_cols, axis=1)
+        lohim = jnp.concatenate(
+            [jnp.zeros((ntiles, 1), jnp.int32)] + lohi_cols, axis=1)
+        valm = jnp.concatenate(
+            [jnp.ones((ntiles, 1), jnp.bool_)] + val_cols, axis=1)
+        flat_v = valm.reshape(-1)
+        flat_ent = entm.reshape(-1)
+        flat_lohi = lohim.reshape(-1)
+        frank = jnp.cumsum(flat_v.astype(jnp.int32)) - 1
+        E_CHUNK = e_chunk
+        per_tile_est = 128 if dim == 2 else 256
+        n_chunks = max(
+            1, min(20, -(-(ntiles * per_tile_est + ntiles) // E_CHUNK)))
+        E_cap = min(ntiles * (Kf * descend_maxb + 1), n_chunks * E_CHUNK)
+        if E_cap > E_CHUNK:          # chunked: round up to whole chunks
+            E_cap = -(-E_cap // E_CHUNK) * E_CHUNK
+        else:                        # small runs: one exact-size chunk
+            E_CHUNK = E_cap
+        pad_entry = (ntiles - 1) << 16
+        dst = jnp.where(flat_v, frank, E_cap)
+        entries = jnp.full((E_cap,), pad_entry, jnp.int32).at[dst].set(
+            flat_ent, mode="drop")
+        lohis = jnp.zeros((E_cap,), jnp.int32).at[dst].set(
+            flat_lohi, mode="drop")
+        ent_count = jnp.sum(valm[:, 1:], axis=1).astype(jnp.int32)
+        end_rank = jnp.cumsum(ent_count + 1)
+        tile_over = (res.overflow[:ntiles] | jnp.any(cell_over, axis=1)
+                     | (end_rank > E_cap))
+        R_slice = Kf * descend_maxb
+
+        if "near" in ablate:     # ablation probes only (wrong forces!)
+            near = jnp.zeros((npad, dim), dtype)
+        else:
+            near = entries_lohi_eval_pallas(
+                xp.reshape(npad, dim), mp_g, xp_g.T,
+                entries.reshape(-1, E_CHUNK), lohis.reshape(-1, E_CHUNK),
+                float(eps), S=S, tb=tile, interpret=interpret,
+                softening="sqrt3", n_real=end_rank[-1])
+        desc_diag = dict(res.diag)
+        if "dbg" in ablate:      # debug stash (smoke scripts only)
+            desc_diag["_dbg"] = {
+                "res": res, "entries": entries, "lohis": lohis,
+                "mono_far": mono_far, "ent_near": near,
+                "open_mask": open_mask, "win_lo": lo_t, "win_hi": hi_t,
+                "cellid": cellid, "cid_d": cid_d, "far_win": far,
+            }
+        near = near + mono_far
 
     acc = far + near
 
@@ -840,5 +1020,7 @@ def compute_force_grouped_fast(
         "node_overflow": jnp.zeros((), jnp.int32),
         "leaf_overflow": jnp.zeros((), jnp.int32),
     }
+    for k, v in desc_diag.items():
+        info[f"descend_{k}"] = v
     out_rows = n if nrows is None else nrows
     return Gv * acc[:out_rows], info

@@ -332,8 +332,8 @@ def group_shared_masked_eval_pallas(
     ntiles = mask.shape[0]
     tb = xi.shape[0] // ntiles
     dtype = xi.dtype
-    if nsuper * G != ntiles:
-        raise ValueError("ntiles must equal nsuper * G")
+    if nsuper != -(-ntiles // G):
+        raise ValueError("nsuper must equal ceil(ntiles / G)")
     Mp = _round_up(M, tile_j)
     if Mp != M:
         mj = jnp.pad(mj, ((0, 0), (0, Mp - M)))

@@ -22,13 +22,13 @@ below L* already costs GBs in 3-D:
               each member's bounding box), so acceptance granularity is
               identical to the dense stage above L*.
   accept      children passing their member-tile MAC become that tile's
-              deeper MONOPOLES: compacted per level (packed-key sort: the
-              node id carries its G accept bits in the low bits, so the
-              payload rides the sort key -- no row gathers), then mass/com
-              are flat-gathered for the compacted ids only and evaluated
-              by pallas_group_eval.group_shared_masked_eval_pallas.
+              deeper MONOPOLES: compacted per level by a lax.sort whose
+              key is the node id and whose PAYLOAD is the G accept bits
+              (no batched row gathers), then mass/com are flat-gathered
+              for the compacted ids only and evaluated by
+              pallas_group_eval.group_shared_masked_eval_pallas.
   open        children failing for >=1 member survive to the next level
-              (same packed-key compaction).  After the last level the
+              (same key+payload compaction).  After the last level the
               engine turns the per-member survivors into exact entries.
   overflow    any cap overflow (open list, monopole list) marks the
               supertile's member tiles for the engines' exact direct-sum
@@ -58,13 +58,21 @@ class DescendResult(NamedTuple):
     final_bits: jnp.ndarray   # (Ts, Kf) int32 per-member open bits
     final_valid: jnp.ndarray  # (Ts, Kf) bool
     overflow: jnp.ndarray     # (Tp,) bool per member tile
+    diag: dict                # per-level monopole/open counts (traced)
 
 
-def _compact(key: jnp.ndarray, cap: int):
-    """Row-sort ascending, keep the first `cap` columns.  Returns the
-    sorted keys (BIG32 = empty) and the per-row real count."""
-    cnt = jnp.sum(key != BIG32, axis=1).astype(jnp.int32)
-    return jnp.sort(key, axis=1)[:, :cap], cnt
+def _compact(ids: jnp.ndarray, bits: jnp.ndarray, cap: int):
+    """Keep the columns with bits != 0, packed left, truncated to `cap`.
+
+    Sorts each row by node id (empty slots pushed to +inf) carrying the
+    member-bit payload through lax.sort -- ids stay full int32 range, no
+    packed-key width limit.  Returns (ids, bits, real_count)."""
+    valid = bits != 0
+    key = jnp.where(valid, ids, BIG32)
+    pay = jnp.where(valid, bits, 0)
+    sk, sp = jax.lax.sort((key, pay), dimension=1, num_keys=1)
+    cnt = jnp.sum(valid, axis=1).astype(jnp.int32)
+    return sk[:, :cap], sp[:, :cap], cnt
 
 
 def supertile_descend(
@@ -95,46 +103,42 @@ def supertile_descend(
     Tp = Ts * G
     if Tp != T:
         open0 = jnp.pad(open0, ((0, Tp - T), (0, 0)))
-    dim = None
-
-    id_bits = max(1, (C0 - 1)).bit_length()
-    if id_bits + dim_bits_guard(levels, nbranch) + G > 31:
-        raise ValueError(
-            "supertile_descend: packed sort key overflows int32 "
-            f"(C0={C0}, levels={levels}, nbranch={nbranch}, G={G})")
+    if C0 * nbranch ** levels > (1 << 31):
+        raise ValueError("supertile_descend: node ids overflow int32 "
+                         f"(C0={C0}, levels={levels}, nbranch={nbranch})")
 
     ob = open0.reshape(Ts, G, C0)
     bits0 = jnp.zeros((Ts, C0), jnp.int32)
     for g in range(G):
         bits0 = bits0 | (ob[:, g, :].astype(jnp.int32) << g)
-    ids_all = jnp.arange(C0, dtype=jnp.int32)[None, :]
-    key0 = jnp.where(bits0 > 0, (ids_all << G) | bits0, BIG32)
-    key, cnt0 = _compact(key0, k0)
+    ids0 = jnp.broadcast_to(jnp.arange(C0, dtype=jnp.int32)[None, :],
+                            (Ts, C0))
+    ids, bits, cnt0 = _compact(ids0, bits0, k0)
     overflow_s = cnt0 > k0
+    diag = {"open_0": jnp.sum(cnt0)}
 
     mono_mass_parts, mono_com_parts, mono_bits_parts = [], [], []
-    maskG = (1 << G) - 1
     jj = jnp.arange(nbranch, dtype=jnp.int32)
+    gvec = jnp.arange(G, dtype=jnp.int32)
 
     for r in range(1, levels + 1):
-        Kprev = key.shape[1]
-        valid = key != BIG32
-        ids = jnp.where(valid, key >> G, 0)
-        pbits = jnp.where(valid, key & maskG, 0)
+        Kprev = ids.shape[1]
+        valid = ids != BIG32
+        pids = jnp.where(valid, ids, 0)
+        pbits = jnp.where(valid, bits, 0)
 
-        ch = (ids[:, :, None] * nbranch + jj[None, None, :]) \
+        ch = (pids[:, :, None] * nbranch + jj[None, None, :]) \
             .reshape(Ts, Kprev * nbranch)
         chbits = jnp.repeat(pbits, nbranch, axis=1)       # (Ts, Kc)
-        chvalid = jnp.repeat(valid, nbranch, axis=1)
 
         st = mac_fn(r, ch)
         accept_m = st["accept"]                            # (Ts, G, Kc)
-        alive = st["alive"] & chvalid
+        alive = st["alive"] & jnp.repeat(valid, nbranch, axis=1)
         forced = st.get("forced")
         if forced is not None:
             accept_m = accept_m & ~forced[:, None, :]
 
-        memb = (chbits[:, None, :] >> jnp.arange(G)[None, :, None]) & 1
+        memb = (chbits[:, None, :] >> gvec[None, :, None]) & 1
         memb = (memb > 0) & alive[:, None, :]              # member-open
         acc_g = memb & accept_m
         open_g = memb & ~accept_m
@@ -146,40 +150,29 @@ def supertile_descend(
             openbits = openbits | (open_g[:, g, :].astype(jnp.int32) << g)
 
         # monopole compaction for this level
-        mkey = jnp.where(accbits > 0, (ch << G) | accbits, BIG32)
-        mkey, mcnt = _compact(mkey, m_caps[r - 1])
+        mids, mbits, mcnt = _compact(ch, accbits, m_caps[r - 1])
         overflow_s = overflow_s | (mcnt > m_caps[r - 1])
-        mvalid = mkey != BIG32
-        mids = jnp.where(mvalid, mkey >> G, 0)
-        mbits = jnp.where(mvalid, mkey & maskG, 0)
-        mm, mcom = mono_fn(r, mids)
+        mvalid = mids != BIG32
+        mm, mcom = mono_fn(r, jnp.where(mvalid, mids, 0))
         mono_mass_parts.append(jnp.where(mvalid, mm, 0.0))
         mono_com_parts.append(mcom)
-        mono_bits_parts.append(mbits)
+        mono_bits_parts.append(jnp.where(mvalid, mbits, 0))
+        diag[f"mono_{r}"] = jnp.sum(mcnt)
 
         # open compaction -> next level (or the final survivor list)
-        okey = jnp.where(openbits > 0, (ch << G) | openbits, BIG32)
-        cap = k_caps[r - 1]
-        okey, ocnt = _compact(okey, cap)
-        overflow_s = overflow_s | (ocnt > cap)
-        key = okey
+        ids, bits, ocnt = _compact(ch, openbits, k_caps[r - 1])
+        overflow_s = overflow_s | (ocnt > k_caps[r - 1])
+        diag[f"open_{r}"] = jnp.sum(ocnt)
 
     mono_mass = jnp.concatenate(mono_mass_parts, axis=1)
     mono_com = jnp.concatenate(mono_com_parts, axis=1)
     mono_bits = jnp.concatenate(mono_bits_parts, axis=1)   # (Ts, Mtot)
-    dtype = mono_mass.dtype
-    gvec = jnp.arange(G, dtype=jnp.int32)
     mono_mask = ((mono_bits[:, None, :] >> gvec[None, :, None]) & 1) \
-        .astype(dtype).reshape(Tp, -1)
+        .astype(mono_mass.dtype).reshape(Tp, -1)
 
-    fvalid = key != BIG32
-    final_ids = jnp.where(fvalid, key >> G, 0)
-    final_bits = jnp.where(fvalid, key & maskG, 0)
+    fvalid = ids != BIG32
+    final_ids = jnp.where(fvalid, ids, 0)
+    final_bits = jnp.where(fvalid, bits, 0)
     overflow = jnp.broadcast_to(overflow_s[:, None], (Ts, G)).reshape(Tp)
     return DescendResult(mono_mass, mono_com, mono_mask,
-                         final_ids, final_bits, fvalid, overflow)
-
-
-def dim_bits_guard(levels: int, nbranch: int) -> int:
-    """Extra id bits added by `levels` of nbranch-ary descent."""
-    return levels * (nbranch - 1).bit_length()
+                         final_ids, final_bits, fvalid, overflow, diag)

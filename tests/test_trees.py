@@ -503,3 +503,82 @@ def test_octree_fast_robust_to_escapers(f32_eps):
     num = float(jnp.linalg.norm(out.a - a_ref))
     den = float(jnp.linalg.norm(a_ref)) + 1e-30
     assert num / den < 0.02, num / den
+
+
+# ------------------------------------------------- sparse supertile descent
+
+def test_octree_descend_theta0_exact(f32_eps):
+    """theta=0 with descend_levels: nothing is ever MAC-accepted (except
+    exact single-body cells), so every open L* cell descends and the
+    final survivors are evaluated exactly -- the descend path must
+    reproduce the octree-softened direct sum like the base fast path."""
+    from nbody_tpu.ops.octree_group import compute_force_grouped_fast
+    from nbody_tpu.ops.octree import morton_keys
+    from nbody_tpu.ops.geometry import scalar_bounds
+
+    n, dim = 1500, 2
+    m, x = _system(n, dim, clustered=True, seed=11)
+    depth = max_depth(n, dim)
+    lo, hi = scalar_bounds(x)
+    keys = morton_keys(x, lo, hi, depth)
+    p = jnp.argsort(keys)
+    ms, xs, ks = m[p], x[p], keys[p]
+    a, info = compute_force_grouped_fast(
+        ms, xs, ks, lo, hi, depth, 0.0, 1.0, f32_eps,
+        tile=512, window_tiles=1, interpret=True, descend_levels=2)
+    xs64 = jnp.asarray(xs, jnp.float64)
+    d = xs64[None, :, :] - xs64[:, None, :]
+    dist = jnp.sqrt(jnp.sum(d * d, axis=-1)) + f32_eps
+    w = jnp.asarray(ms, jnp.float64)[None, :] / dist**3
+    a_ref = jnp.einsum("ij,ijd->id", w, d)
+    scale = float(jnp.max(jnp.abs(a_ref))) + 1e-30
+    assert float(jnp.max(jnp.abs(a - a_ref))) / scale < 2e-5
+
+
+@pytest.mark.slow
+@pytest.mark.parametrize("dim", [2, 3])
+def test_octree_descend_no_less_accurate(dim, f32_eps):
+    """The sparse-descent near field may only accept per-tile-MAC
+    monopoles the LIST path would also accept (same theta criterion,
+    tile-box dmin), so its error vs the exact octree-softened sum must
+    stay within the list path's."""
+    from nbody_tpu.ops.octree import build_octree, morton_keys
+    from nbody_tpu.ops.octree_group import (
+        compute_force_grouped, compute_force_grouped_fast)
+    from nbody_tpu.ops.geometry import scalar_bounds
+
+    n = 6000
+    rng = np.random.default_rng(7 + dim)
+    k = n // 2
+    x = jnp.asarray(np.concatenate([
+        rng.normal(0, 1.0, (k, dim)),
+        rng.normal(3.0, 1.0, (n - k, dim))]).astype(np.float32))
+    m = jnp.asarray(rng.uniform(0.1, 1.0, n).astype(np.float32))
+    depth = max_depth(n, dim)
+    lo, hi = scalar_bounds(x)
+    keys = morton_keys(x, lo, hi, depth)
+    p = jnp.argsort(keys)
+    ms, xs, ks = m[p], x[p], keys[p]
+
+    xs64 = jnp.asarray(xs, jnp.float64)
+    d = xs64[None, :, :] - xs64[:, None, :]
+    dist = jnp.sqrt(jnp.sum(d * d, axis=-1)) + f32_eps
+    w = jnp.asarray(ms, jnp.float64)[None, :] / dist**3
+    a_exact = jnp.einsum("ij,ijd->id", w, d)
+
+    levels, _, ms_l, xs_l = build_octree(m, x, lo, hi, depth)
+    a_list, _ = compute_force_grouped(levels, ms_l, xs_l, hi - lo, 0.5,
+                                      1.0, f32_eps)
+    d2 = xs_l[None, :, :].astype(jnp.float64) - xs_l[:, None, :].astype(jnp.float64)
+    dist2 = jnp.sqrt(jnp.sum(d2 * d2, axis=-1)) + f32_eps
+    w2 = ms_l[None, :].astype(jnp.float64) / dist2**3
+    e_list = float(jnp.linalg.norm(
+        a_list - jnp.einsum("ij,ijd->id", w2, d2)))
+
+    a_desc, info = compute_force_grouped_fast(
+        ms, xs, ks, lo, hi, depth, 0.5, 1.0, f32_eps,
+        tile=512, window_tiles=2, interpret=True, descend_levels=2)
+    e_desc = float(jnp.linalg.norm(a_desc - a_exact))
+    if dim == 2:      # 3-D at this tiny size tips some tiles into the
+        assert int(info["fallback_tiles"]) == 0   # (exact) fallback
+    assert e_desc <= e_list * 1.01 + 1e-12, (e_desc, e_list)
