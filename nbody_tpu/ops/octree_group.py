@@ -46,6 +46,35 @@ from nbody_tpu.ops.octree import OctreeLevels
 K_CELL = 16  # max bodies expanded per open max-depth cell (else fallback)
 
 
+def merge_contiguous_entries(entries, lohis, n_raw, pad_entry):
+    """Merge chains of touching same-block entries in a packed flat
+    entry stream (self-describing lohi format: ent = tid << 16 | blk,
+    lohi = lo | hi << 16, sorted per tile by (blk, lo)).
+
+    Each entry costs a full grid step + block DMA + tile x S pair
+    evaluation regardless of its [lo, hi) span, so merging touching
+    ranges that target the same S-block is a direct multiplier on the
+    near-field rate.  One shift + flag + cumsum recompaction, all flat
+    O(E_cap) ops.  Returns (entries, lohis, n_merged)."""
+    E_cap = entries.shape[0]
+    ii = jnp.arange(E_cap, dtype=jnp.int32)
+    prev_ent = jnp.concatenate([entries[:1] - 1, entries[:-1]])
+    prev_hi = jnp.concatenate(
+        [jnp.zeros((1,), jnp.int32), (lohis[:-1] >> 16) & 0xFFFF])
+    cur_lo = lohis & 0xFFFF
+    mergef = ((ii > 0) & (ii < n_raw)
+              & (entries == prev_ent) & (cur_lo == prev_hi))
+    keep = ~mergef
+    gid = jnp.cumsum(keep.astype(jnp.int32)) - 1
+    glo = jnp.full((E_cap,), 0xFFFF, jnp.int32).at[gid].min(cur_lo)
+    ghi = jnp.zeros((E_cap,), jnp.int32).at[gid].max((lohis >> 16) & 0xFFFF)
+    gent = jnp.full((E_cap,), -1, jnp.int32).at[gid].max(entries)
+    entries = jnp.where(ii <= gid[-1], gent, pad_entry)
+    lohis = jnp.minimum(glo, ghi) | (ghi << 16)
+    n_merged = jnp.sum(keep & (ii < n_raw), dtype=jnp.int32)
+    return entries, lohis, n_merged
+
+
 def default_caps(n: int, theta: float, dim: int) -> tuple[int, int]:
     if theta <= 1e-6:
         cap = max(n, 64)
@@ -402,7 +431,7 @@ def compute_force_grouped(
     static_argnames=("depth", "theta", "G", "eps", "tile", "interpret",
                      "e_chunk", "nrows", "ablate", "window_tiles",
                      "depth_bias", "descend_levels", "descend_G",
-                     "descend_caps", "descend_maxb"),
+                     "descend_caps", "descend_maxb", "s_block"),
 )
 def compute_force_grouped_fast(
     ms: jnp.ndarray,
@@ -426,6 +455,7 @@ def compute_force_grouped_fast(
     descend_G: int = 8,
     descend_caps: tuple = (1024, 1024, 2048),
     descend_maxb: int = 4,
+    s_block: int | None = None,
 ):
     """Gather-free grouped octree force (fp32 TPU fast path).
 
@@ -466,7 +496,7 @@ def compute_force_grouped_fast(
     Returns (accel in sorted order, info dict).  fp32-only.
     """
     from nbody_tpu.ops.pallas_group_eval import (
-        entries_tables_eval_pallas,
+        entries_lohi_eval_pallas,
         masked_eval_pallas,
         window_eval_pallas,
     )
@@ -530,9 +560,12 @@ def compute_force_grouped_fast(
     # thousands of bodies per cell.  Bounded by the 16-bit gbe packing
     # (the guard loop below walks it back if the run table outgrows it).
     level_star = min(level_star + depth_bias, depth)
-    S = 256
-    while npad_g // S > 16384:
-        S *= 2
+    if s_block is not None:
+        S = s_block                  # near-field DMA block width override
+    else:
+        S = 256
+        while npad_g // S > 16384:
+            S *= 2
     # the packed-entry gbe field is 16 bits: clamp L* so the run table
     # (C cells + npad_g/S blocks + 1 pad row) stays addressable
     while (1 << (dim * level_star)) + npad_g // S + 1 > (1 << 16) \
@@ -796,32 +829,46 @@ def compute_force_grouped_fast(
         # direct sums (measured: the 52-step evolved 2-D galaxy wants ~520k
         # entries where fresh wants ~300k and the old budget of 393k put 482
         # tiles into fallback at 2.5 s/step)
-        per_tile_est = 360 if dim == 2 else 560
+        per_tile_est = 64 + ((560 if dim == 3 else 360) * 256) // S
         n_chunks = max(1, min(20, -(-(ntiles * per_tile_est + ntiles) // E_CHUNK)))
         E_cap = min(ntiles * (R_slice + 1), n_chunks * E_CHUNK)
         if E_cap > E_CHUNK:          # chunked: round up to whole chunks
             E_cap = -(-E_cap // E_CHUNK) * E_CHUNK
         else:                        # small runs: one exact-size chunk
             E_CHUNK = E_cap
-        pad_entry = ((ntiles - 1) << 16) | pad_gbe
-        entries = jnp.full((E_cap,), pad_entry, jnp.int32).at[
+        pad_gbe_entry = ((ntiles - 1) << 16) | pad_gbe
+        entries_gbe = jnp.full((E_cap,), pad_gbe_entry, jnp.int32).at[
             jnp.where(flat_v, frank, E_cap)
         ].set(flat_ent, mode="drop")
         per_tile = 1 + jnp.minimum(ent_count, R_slice)
         end_rank = jnp.cumsum(per_tile)
         tile_over = (ent_count > R_slice) | (end_rank > E_cap)
 
+        # resolve the gbe indirection into self-describing lohi entries
+        # (two flat gathers at E_cap scale; the pad gbe row resolves to
+        # blk 0 / lo == hi == 0, a no-op) and merge touching same-block
+        # runs: adjacent open cells sharing an S-block used to pay two
+        # grid steps + DMAs for one block's worth of pairs
+        gidx = entries_gbe & 0xFFFF
+        entries = (entries_gbe & jnp.int32(~0xFFFF)) | gbe_blk[gidx]
+        lohis = lohi_tbl[gidx]
+        pad_entry = (ntiles - 1) << 16
+        entries, lohis, n_merged = merge_contiguous_entries(
+            entries, lohis, end_rank[-1], pad_entry)
+
         if "near" in ablate:     # ablation probes only (wrong forces!)
             near = jnp.zeros((npad, dim), dtype)
         elif "nlist" in ablate:  # keep entry-list BUILD, skip only the eval
             near = jnp.zeros((npad, dim), dtype) + entries.sum().astype(dtype)
         else:
-            near = entries_tables_eval_pallas(
+            near = entries_lohi_eval_pallas(
                 xp.reshape(npad, dim), mp_g, xp_g.T,
-                entries.reshape(-1, E_CHUNK), gbe_blk, lohi_tbl,
-                float(eps), S=S, tb=tile, interpret=interpret, softening="sqrt3",
-                n_real=end_rank[-1],
+                entries.reshape(-1, E_CHUNK), lohis.reshape(-1, E_CHUNK),
+                float(eps), S=S, tb=tile, interpret=interpret,
+                softening="sqrt3", n_real=n_merged,
             )
+        n_entries_info = n_merged
+        desc_diag = {"entries_raw": end_rank[-1]}
     else:
         # ---- sparse supertile descent below L* ------------------------
         # Measured (scripts/probe_diag3.py, n=1M 3-D galaxy theta=0.5):
@@ -930,11 +977,18 @@ def compute_force_grouped_fast(
             lohi_cols.append(lo_b | (hi_b << 16))
             val_cols.append(mem & (hi_b > lo_b))
         sent = t_idx[:, None] << 16                    # lo==hi sentinel
-        entm = jnp.concatenate([sent] + ent_cols, axis=1)
+        # SURVIVOR-major column order (survivor0 blocks b0..b3, survivor1
+        # blocks ...): the flattened per-tile entry stream is then sorted
+        # by (block, lo), which is what makes the flat contiguity merge
+        # below find every mergeable pair as a direct neighbor
+        entm = jnp.concatenate(
+            [sent, jnp.stack(ent_cols, axis=2).reshape(ntiles, -1)], axis=1)
         lohim = jnp.concatenate(
-            [jnp.zeros((ntiles, 1), jnp.int32)] + lohi_cols, axis=1)
+            [jnp.zeros((ntiles, 1), jnp.int32),
+             jnp.stack(lohi_cols, axis=2).reshape(ntiles, -1)], axis=1)
         valm = jnp.concatenate(
-            [jnp.ones((ntiles, 1), jnp.bool_)] + val_cols, axis=1)
+            [jnp.ones((ntiles, 1), jnp.bool_),
+             jnp.stack(val_cols, axis=2).reshape(ntiles, -1)], axis=1)
         flat_v = valm.reshape(-1)
         flat_ent = entm.reshape(-1)
         flat_lohi = lohim.reshape(-1)
@@ -959,6 +1013,12 @@ def compute_force_grouped_fast(
         tile_over = (res.overflow[:ntiles] | jnp.any(cell_over, axis=1)
                      | (end_rank > E_cap))
         R_slice = Kf * descend_maxb
+        n_raw = end_rank[-1]
+        # survivor cells are small (~1/8^r of an L* cell) and Morton-
+        # adjacent: consecutive entries of one tile often target the SAME
+        # S-block with touching [lo, hi) ranges -- merge them
+        entries, lohis, n_real2 = merge_contiguous_entries(
+            entries, lohis, n_raw, pad_entry)
 
         if "near" in ablate:     # ablation probes only (wrong forces!)
             near = jnp.zeros((npad, dim), dtype)
@@ -967,8 +1027,13 @@ def compute_force_grouped_fast(
                 xp.reshape(npad, dim), mp_g, xp_g.T,
                 entries.reshape(-1, E_CHUNK), lohis.reshape(-1, E_CHUNK),
                 float(eps), S=S, tb=tile, interpret=interpret,
-                softening="sqrt3", n_real=end_rank[-1])
+                softening="sqrt3", n_real=n_real2)
+        n_entries_info = n_real2
         desc_diag = dict(res.diag)
+        desc_diag["entries_raw"] = n_raw
+        fcnt = jnp.where(res.final_valid, cnt_d_arr[fidc], 0)
+        desc_diag["final_mass"] = jnp.sum(
+            jnp.where(memb, fcnt[:, None, :], 0), dtype=jnp.int32)
         if "dbg" in ablate:      # debug stash (smoke scripts only)
             desc_diag["_dbg"] = {
                 "res": res, "entries": entries, "lohis": lohis,
@@ -1014,7 +1079,7 @@ def compute_force_grouped_fast(
         "max_nodes": jnp.max(jnp.minimum(ent_count, R_slice)),
         "max_leaves": jnp.zeros((), jnp.int32),
         "fallback_tiles": n_over,
-        "entries": end_rank[-1],
+        "entries": n_entries_info,
         "open_cells": jnp.sum(open_mask, dtype=jnp.int32),
         "open_mass": open_mass,
         "node_overflow": jnp.zeros((), jnp.int32),
