@@ -464,7 +464,7 @@ def compute_force_grouped_windowed(
                   reference's quirky partial-Hilbert order has poor
                   locality -- mid-range sparse-halo nodes) become exact
                   S-body entries streamed through
-                  entries_tables_eval_pallas.  `refine_levels` > 0
+                  entries_lohi_eval_pallas.  `refine_levels` > 0
                   optionally refines them deeper first (children passing
                   the tile MAC join the far-field mask as monopoles) --
                   measured counterproductive on the galaxy workloads
@@ -618,11 +618,9 @@ def compute_force_grouped_windowed(
     # heap holds every level, so the masked eval just widens).  The
     # still-open survivors each cover a CONTIGUOUS S2 = S/2^ref_lv body
     # range of the sorted array and become a flat tile-sorted entry list
-    # evaluated EXACTLY by entries_tables_eval_pallas (scalar-prefetch
+    # evaluated EXACTLY by entries_lohi_eval_pallas (scalar-prefetch
     # block DMA; evaluating bodies where the reference descends to deeper
     # monopoles is strictly more accurate).
-    from nbody_tpu.ops.pallas_group_eval import entries_tables_eval_pallas
-
     all_nodes = jnp.arange(nodes_total, dtype=jnp.int32)[None, :]
     outside = open_mask & (
         (all_nodes < w0n[:, None]) | (all_nodes >= w0n[:, None] + wnodes)
@@ -732,31 +730,50 @@ def compute_force_grouped_windowed(
     # costs worst-case memory, while under-budgeting causes fallback
     # direct sums.  Measured outside-window opens per tile: ~24 mean in
     # 2-D, ~200 in 3-D (concentrated galaxy).
-    per_tile_est = 96 if dim == 2 else 400
+    # budget scales with refinement: each level at most doubles the raw
+    # residual count (survivor siblings merge back below, so the EVALUATED
+    # entry count never exceeds the unrefined one)
+    per_tile_est = min(R_slice, (96 if dim == 2 else 400) << ref_lv)
     n_chunks = max(1, min(20, -(-(ntiles * per_tile_est + ntiles) // E_CHUNK)))
     E_cap = min(ntiles * (R_slice + 1), n_chunks * E_CHUNK)
     if E_cap > E_CHUNK:          # chunked: round up to whole chunks
         E_cap = -(-E_cap // E_CHUNK) * E_CHUNK
     else:                        # small runs: one exact-size chunk
         E_CHUNK = E_cap
-    pad_entry = ((ntiles - 1) << 16) | pad_gbe
-    entries = jnp.full((E_cap,), pad_entry, jnp.int32).at[
+    pad_gbe_entry = ((ntiles - 1) << 16) | pad_gbe
+    entries_gbe = jnp.full((E_cap,), pad_gbe_entry, jnp.int32).at[
         jnp.where(flat_v, rank, E_cap)
     ].set(flat_ent, mode="drop")
     per_tile = 1 + jnp.minimum(out_count, R_slice)
     end_rank = jnp.cumsum(per_tile)
     tile_over = (out_count > R_slice) | (end_rank > E_cap)
 
+    # resolve node ids into self-describing lo/hi entries and merge
+    # touching same-block ranges: after ref_lv refinement levels the
+    # survivors are S2 = S/2^ref_lv-body siblings, and any sibling RUN
+    # that survived intact merges back into one block-wide entry -- the
+    # evaluated entry count can only DECREASE with refinement (accepted
+    # children leave as far-field monopoles; the rest re-coalesce)
+    from nbody_tpu.ops.octree_group import merge_contiguous_entries
+    from nbody_tpu.ops.pallas_group_eval import entries_lohi_eval_pallas
+
+    gidx = entries_gbe & 0xFFFF
+    entries = (entries_gbe & jnp.int32(~0xFFFF)) | blk_tbl[gidx]
+    lohis = lohi_tbl[gidx]
+    pad_entry = (ntiles - 1) << 16
+    entries, lohis, n_merged = merge_contiguous_entries(
+        entries, lohis, end_rank[-1], pad_entry)
+
     if "resid" in ablate:    # ablation probes only (wrong forces!)
         resid = jnp.zeros((npad, dim), dtype)
     elif "rlist" in ablate:  # keep entry-list BUILD, skip only the eval
         resid = jnp.zeros((npad, dim), dtype) + entries.sum().astype(dtype)
     else:
-        resid = entries_tables_eval_pallas(
+        resid = entries_lohi_eval_pallas(
             xp.reshape(npad, dim), mp_g, xp_g.T,
-            entries.reshape(-1, E_CHUNK), blk_tbl, lohi_tbl,
+            entries.reshape(-1, E_CHUNK), lohis.reshape(-1, E_CHUNK),
             float(eps), S=Sd, tb=tile, interpret=interpret, softening="poly",
-            n_real=end_rank[-1],
+            n_real=n_merged,
         )
 
     acc = far + near + resid
@@ -765,7 +782,7 @@ def compute_force_grouped_windowed(
         jnp.zeros_like(out_count), jnp.zeros_like(out_count),
         m, x, n, ntiles, tile, npad, out_rows, dtype, epsv, Gv,
         pallas_fb=("interpret" if interpret else True), eps_f=float(eps),
-        n_entries=end_rank[-1],
+        n_entries=n_merged,
     )
     info["res_pairs"] = diag_pairs
     for k, v in enumerate(diag_pass_hist):

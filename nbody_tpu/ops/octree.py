@@ -355,6 +355,20 @@ def robust_quant_box(x: jnp.ndarray, lo, hi):
     xs_sub = x[::stride]
     qlo = jnp.quantile(xs_sub, 0.005, axis=0)
     qhi = jnp.quantile(xs_sub, 0.995, axis=0)
+    if x.shape[1] == 3:
+        # SCALAR (cube) box in 3-D: measured n=1M 3-D galaxy theta=0.5
+        # (scripts/probe_r3a.py): scalar 2.12 s / 629k entries vs aniso
+        # 2.49 s / 813k.  The anisotropic box balances OCCUPANCY, but the
+        # resulting slab cells have larger max-extent widths, so the MAC
+        # opens more of them; cube cells are fewer and fatter (~2.6k
+        # bodies), which packs the S-block entry list ~25% denser.
+        span = jnp.max(qhi - qlo)
+        lo_s = jnp.min(x)
+        hi_s = jnp.max(x)
+        lo_r = jnp.maximum(jnp.min(qlo) - 0.15 * span, lo_s) - 1.0
+        hi_r = jnp.minimum(jnp.max(qhi) + 0.15 * span, hi_s) + 1.0
+        return (jnp.full((3,), lo_r, x.dtype),
+                jnp.full((3,), hi_r, x.dtype))
     span = qhi - qlo                                   # per-dim
     lo_d = jnp.min(x, axis=0)
     hi_d = jnp.max(x, axis=0)

@@ -469,22 +469,29 @@ def compute_force_grouped_fast(
                  (children of cell c are cells c*nbranch+j -- contiguous),
                  with the reference's single-body demotion (a count-1
                  cell's monopole is the exact body, octree.h:130-148).
-                 The quantization box is ANISOTROPIC and robust (see
-                 octree.robust_quant_box) -- legal because the MAC below
-                 never uses the nominal cell side;
+                 The quantization box is robust and dim-adaptive (see
+                 octree.robust_quant_box: per-dim in 2-D, scalar cube in
+                 3-D -- measured 2.12 vs 2.49 s at n=1M 3-D) -- legal
+                 because the MAC below never uses the nominal cell side;
       far field  dense per-level accept masks (MAC width = true per-cell
                  extents, the BVH bw semantics -- accept => width/dist <
                  theta, the standard Barnes-Hut error bound on the actual
                  mass cluster; one broadcast compare per level with
-                 repeat(nbranch) propagation) + masked_eval_pallas over
-                 the shared heap;
+                 repeat(nbranch) propagation), then COMPACTED per
+                 supertile of far_G tiles (one key sort + flat monopole
+                 gathers) and evaluated by group_shared_masked_eval_pallas
+                 -- the dense masked eval paid T x TB x W_heap slots
+                 (~0.34 s + a 286 MB mask at n=1M 3-D) for accept sets
+                 100x smaller;
       near field every cell still open at L* is evaluated as EXACT bodies.
                  Cell body ranges are contiguous in Morton order, so the
                  global (cell, S-body-block) run table comes from change
                  points of the sorted body stream; per tile, its open
-                 cells' runs become a flat tile-sorted entry list streamed
-                 through entries_tables_eval_pallas (scalar-prefetch block
-                 DMA, chunked for SMEM).  Evaluating exact bodies where
+                 cells' runs resolve into self-describing lo/hi entries,
+                 touching same-block entries MERGE (see
+                 merge_contiguous_entries), and the stream is evaluated by
+                 entries_lohi_eval_pallas (scalar-prefetch block DMA,
+                 chunked for SMEM).  Evaluating exact bodies where
                  the reference would descend to deeper monopoles is
                  strictly MORE accurate, preserving the conservative
                  never-less-accurate guarantee of the group MAC
@@ -497,7 +504,7 @@ def compute_force_grouped_fast(
     """
     from nbody_tpu.ops.pallas_group_eval import (
         entries_lohi_eval_pallas,
-        masked_eval_pallas,
+        group_shared_masked_eval_pallas,
         window_eval_pallas,
     )
     from nbody_tpu.ops.pallas_allpairs import allpairs_block_pallas
@@ -560,12 +567,19 @@ def compute_force_grouped_fast(
     # thousands of bodies per cell.  Bounded by the 16-bit gbe packing
     # (the guard loop below walks it back if the run table outgrows it).
     level_star = min(level_star + depth_bias, depth)
-    if s_block is not None:
-        S = s_block                  # near-field DMA block width override
-    else:
-        S = 256
-        while npad_g // S > 16384:
-            S *= 2
+    # near-field DMA block width: each entry pays a fixed ~2 us (grid
+    # step + block DMA + pipeline restart) regardless of its [lo, hi)
+    # span, so wide blocks win whenever cells are fat enough to keep them
+    # occupied.  Measured n=1M 3-D galaxy (scripts/probe_r3b.py, scalar
+    # box, merged entries): S=256 2.37 s / 594k entries, S=512 1.83 s /
+    # 308k, S=1024 1.62 s / 165k (occupancy 0.87).  2-D cells are small
+    # (~370 bodies fresh, ~200 evolved), so 2-D keeps S=256.
+    S = s_block if s_block is not None else (1024 if dim == 3 else 256)
+    S = max(128, min(S, npad_g))
+    while npad_g % S:                # partial tail block would index OOB
+        S //= 2
+    while npad_g // S > 16384:       # run-table blocks stay addressable
+        S *= 2
     # the packed-entry gbe field is 16 bits: clamp L* so the run table
     # (C cells + npad_g/S blocks + 1 pad row) stays addressable
     while (1 << (dim * level_star)) + npad_g // S + 1 > (1 << 16) \
@@ -743,14 +757,59 @@ def compute_force_grouped_fast(
         accept_masks[-1] = accept_masks[-1] | mono
         open_mask = open_mask & ~mono
 
-    far_mask = jnp.concatenate(accept_masks, axis=1).astype(dtype)
+    acc_bool = jnp.concatenate(accept_masks, axis=1)        # (T, W) bool
     mm_heap = jnp.concatenate(heap_mass)
     com_heap = jnp.concatenate(heap_com, axis=0)
+    W_heap = acc_bool.shape[1]
+
+    # ---- far field: compacted per-supertile shared lists --------------
+    # The dense masked eval paid T x TB x W_heap pair slots (3-D L*=5:
+    # W = 37449, ~0.34 s and a 286 MB mask at n=1M) for accept sets of a
+    # few thousand nodes per tile.  Compact the accepts per SUPERTILE of
+    # far_G tiles (unions overlap heavily -- the same trick as the
+    # sparse descent): one (Ts, W) key sort + flat monopole gathers, then
+    # group_shared_masked_eval_pallas at T x TB x far_cap pair slots.
+    # A supertile whose union overflows far_cap sends its member tiles
+    # to the exact fallback (truncation structurally impossible).
+    from nbody_tpu.ops.tree_descend import BIG32, _compact
+
+    far_G = 8
+    far_cap = min(W_heap, 8192)
+    Tsf = -(-ntiles // far_G)
+    Tpf = Tsf * far_G
+    accp = acc_bool
+    if Tpf != ntiles:
+        accp = jnp.pad(acc_bool, ((0, Tpf - ntiles), (0, 0)))
+    accp = accp.reshape(Tsf, far_G, W_heap)
+    fbits0 = jnp.zeros((Tsf, W_heap), jnp.int32)
+    for g in range(far_G):
+        fbits0 = fbits0 | (accp[:, g, :].astype(jnp.int32) << g)
+    fids0 = jnp.broadcast_to(
+        jnp.arange(W_heap, dtype=jnp.int32)[None, :], (Tsf, W_heap))
+    fids, fbits, fcnt = _compact(fids0, fbits0, far_cap)
+    far_over = jnp.broadcast_to(
+        (fcnt > far_cap)[:, None], (Tsf, far_G)).reshape(Tpf)[:ntiles]
+    fvalid = fids != BIG32
+    fidc = jnp.where(fvalid, fids, 0)
+    fmass = jnp.where(fvalid, mm_heap[fidc], 0.0)
+    fcom = com_heap[fidc]                                   # (Tsf, cap, dim)
+    gfv = jnp.arange(far_G, dtype=jnp.int32)
+    fmask = ((fbits[:, None, :] >> gfv[None, :, None]) & 1) \
+        .astype(dtype).reshape(Tpf, -1)[:ntiles]
     if "far" in ablate:      # ablation probes only (wrong forces!)
         far = jnp.zeros((npad, dim), dtype)
-    else:
+    elif "fardense" in ablate:   # A/B probe: round-2 dense masked eval
+        from nbody_tpu.ops.pallas_group_eval import masked_eval_pallas
+
         far = masked_eval_pallas(
-            xp.reshape(npad, dim), mm_heap, com_heap.T, far_mask, float(eps),
+            xp.reshape(npad, dim), mm_heap, com_heap.T,
+            acc_bool.astype(dtype), float(eps),
+            interpret=interpret, softening="sqrt3",
+        )
+    else:
+        far = group_shared_masked_eval_pallas(
+            xp.reshape(npad, dim), fmass, jnp.swapaxes(fcom, 1, 2),
+            fmask, float(eps), far_G,
             interpret=interpret, softening="sqrt3",
         )
 
@@ -866,6 +925,7 @@ def compute_force_grouped_fast(
                 entries.reshape(-1, E_CHUNK), lohis.reshape(-1, E_CHUNK),
                 float(eps), S=S, tb=tile, interpret=interpret,
                 softening="sqrt3", n_real=n_merged,
+                skip_empty="skipempty" in ablate,
             )
         n_entries_info = n_merged
         desc_diag = {"entries_raw": end_rank[-1]}
@@ -1044,6 +1104,7 @@ def compute_force_grouped_fast(
         near = near + mono_far
 
     acc = far + near
+    tile_over = tile_over | far_over
 
     # ---- exact fallback for overflowed tiles (octree softening) -------
     K_GRP = min(8, ntiles)

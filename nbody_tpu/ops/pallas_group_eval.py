@@ -218,12 +218,20 @@ def window_eval_pallas(
     window_tiles: int,
     interpret: bool = False,
     softening: str = "poly",
+    wj: int = 1,
 ) -> jnp.ndarray:
     """Near-field evaluation: tile t vs a CONTIGUOUS window of the sorted
     body array starting at tile index w0[t] (w0 is in units of TB-body
     tiles, already clamped by the caller).  The j-blocks are pure block
     DMA via a t-dependent index map -- no gathers.  `mask` (ntiles, WB)
     zeroes window bodies whose leaf-level node is not open for this tile.
+
+    wj groups wj window tiles into one grid step (every grid step pays a
+    fixed ~2 us of Mosaic sequencing regardless of block width, measured
+    round 3 -- see BASELINE.md); requires wj | window_tiles and w0
+    multiples of wj (callers align w0 down, which only shifts the window
+    placement, never correctness -- the caller derives its in-window
+    interval FROM the aligned w0).
 
     xi  (ntiles*TB, dim); mj (npad,); xjt (dim, npad);
     mask (ntiles, window_tiles*TB); w0 (ntiles,) int32."""
@@ -232,6 +240,9 @@ def window_eval_pallas(
     tb = WB // window_tiles
     dim = xi.shape[1]
     dtype = xi.dtype
+    if window_tiles % wj:
+        raise ValueError("wj must divide window_tiles")
+    jb = wj * tb
 
     base_kernel = functools.partial(_masked_eval_kernel, dim, float(eps),
                                     softening)
@@ -242,19 +253,16 @@ def window_eval_pallas(
         base_kernel(*refs)
 
     def jmap(t, c, w0_ref):
-        return (0, w0_ref[t] + c)
-
-    def jmap_m(t, c, w0_ref):
-        return (0, w0_ref[t] + c)
+        return (0, w0_ref[t] // wj + c)
 
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=1,
-        grid=(ntiles, window_tiles),
+        grid=(ntiles, window_tiles // wj),
         in_specs=[
             pl.BlockSpec((tb, dim), lambda t, c, w0_ref: (t, 0)),
-            pl.BlockSpec((dim, tb), jmap),
-            pl.BlockSpec((1, tb), jmap_m),
-            pl.BlockSpec((1, 1, tb), lambda t, c, w0_ref: (t, 0, c)),
+            pl.BlockSpec((dim, jb), jmap),
+            pl.BlockSpec((1, jb), jmap),
+            pl.BlockSpec((1, 1, jb), lambda t, c, w0_ref: (t, 0, c)),
         ],
         out_specs=pl.BlockSpec((tb, dim), lambda t, c, w0_ref: (t, 0)),
     )
@@ -409,13 +417,18 @@ def _entries_tables_kernel(dim, eps, softening, S, ent_ref, blk_ref,
             out_ref[:, d] += jnp.sum(w * dx[d], axis=1)
 
 
-def _entries_lohi_kernel(dim, eps, softening, S, ent_ref, lohi_ref,
-                         xi_ref, xjt_ref, mj_ref, init_ref, out_ref):
+def _entries_lohi_kernel(dim, eps, softening, S, skip_empty, ent_ref,
+                         lohi_ref, xi_ref, xjt_ref, mj_ref, init_ref,
+                         out_ref):
     """Self-describing entry evaluation (sparse-descent near field): each
     entry carries its own j block id (tile_id << 16 | blk) and [lo, hi)
     subrange (lo | hi << 16) -- no run-table indirection, so entries can
     reference ARBITRARY body subranges (deep-cell ranges straddle block
-    boundaries).  lo == hi is the padding sentinel."""
+    boundaries).  lo == hi is the padding sentinel; by default it is
+    evaluated UNCONDITIONALLY (the [lo, hi) lane mask already zeroes it)
+    because a per-entry pl.when stalls Mosaic's pipeline (measured 1.6x
+    on small blocks; post-merge streams carry one sentinel per tile, so
+    the wasted math is ~ntiles * tb * S pair slots, noise)."""
     e = pl.program_id(0)
     ent = ent_ref[e]
     tid = ent >> 16
@@ -429,8 +442,7 @@ def _entries_lohi_kernel(dim, eps, softening, S, ent_ref, lohi_ref,
     lo = lohi & 0xFFFF
     hi = lohi >> 16
 
-    @pl.when(hi > lo)
-    def _():
+    def body():
         xi = xi_ref[:, :]
         eps_v = jnp.asarray(eps, xi.dtype)
         lane = jax.lax.broadcasted_iota(jnp.int32, (1, S), 1)
@@ -452,9 +464,15 @@ def _entries_lohi_kernel(dim, eps, softening, S, ent_ref, lohi_ref,
         for d in range(dim):
             out_ref[:, d] += jnp.sum(w * dx[d], axis=1)
 
+    if skip_empty:
+        pl.when(hi > lo)(body)
+    else:
+        body()
+
 
 @functools.partial(
-    jax.jit, static_argnames=("eps", "S", "tb", "interpret", "softening")
+    jax.jit, static_argnames=("eps", "S", "tb", "interpret", "softening",
+                              "skip_empty")
 )
 def entries_lohi_eval_pallas(
     xi: jnp.ndarray,
@@ -468,6 +486,7 @@ def entries_lohi_eval_pallas(
     interpret: bool = False,
     softening: str = "poly",
     n_real=None,
+    skip_empty: bool = False,
 ) -> jnp.ndarray:
     """Chunked self-describing entry evaluation (see the kernel).  entries
     and lohis are 1-D or (nchunks, E); entries must be sorted by tile id,
@@ -482,7 +501,7 @@ def entries_lohi_eval_pallas(
     nchunks, E = entries.shape
 
     kernel = functools.partial(_entries_lohi_kernel, dim, float(eps),
-                               softening, S)
+                               softening, S, skip_empty)
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=2,
         grid=(E,),

@@ -4,7 +4,7 @@ dlev=0 and the sparse descent at dlev>=2, one case per process (the
 tunnel worker dies if a dispatch exceeds ~45 s; crashed cases must not
 take the rest down).  Usage:
     probe_r3b.py OUT case SPEC
-SPEC = box,dlev,S,k0,k,m,maxb,evolved  e.g. scalar,2,512,2048,4096,8192,4,0
+SPEC = box,dlev,S,k0,k,m,maxb,evolved[,dim]  e.g. scalar,2,512,2048,4096,8192,4,0,3
 """
 
 import dataclasses
@@ -42,7 +42,9 @@ def main():
     from nbody_tpu.utils.measure import scan_seconds_per_step
     from nbody_tpu.utils.timing import sync
 
-    box, dlev, S, k0, k, m, maxb, evolved = SPEC.split(",")
+    parts = SPEC.split(",")
+    box, dlev, S, k0, k, m, maxb, evolved = parts[:8]
+    dim = int(parts[8]) if len(parts) > 8 else 3
     dlev, S, maxb, evolved = int(dlev), int(S), int(maxb), int(evolved)
     caps = (int(k0), int(k), int(m))
 
@@ -57,7 +59,6 @@ def main():
         return (jnp.full((dim,), lo_r, x.dtype),
                 jnp.full((dim,), hi_r, x.dtype))
 
-    dim = 3
     cfg, state = build_galaxy_model(N, dim, np.float32)
     theta, G, eps, dt = 0.5, float(cfg.G), cfg.eps, cfg.dt
     depth = max_depth(N, dim)
@@ -115,9 +116,9 @@ def main():
             return out
 
         stats = {kk: int(v) for kk, v in fb(st).items()}
-        log({"probe": "r3b", "box": box, "dlev": dlev, "S": S,
-             "caps": caps, "maxb": maxb, "evolved": evolved, "sec": dtv,
-             **stats})
+        log({"probe": "r3b", "dim": dim, "box": box, "dlev": dlev,
+             "S": S, "caps": caps, "maxb": maxb, "evolved": evolved,
+             "sec": dtv, **stats})
     except Exception as e:
         log({"probe": "r3b", "box": box, "dlev": dlev, "S": S,
              "caps": caps, "maxb": maxb, "evolved": evolved,
