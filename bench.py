@@ -154,10 +154,12 @@ def main() -> int:
                 algo, dim=dim
             )
         # evolved state (50 pre-roll steps): catches state-dependent
-        # regressions the fresh number is blind to (VERDICT item 7)
-        tree[f"{algo}_1m_2d_evolved_sec_per_step"] = measure_tree(
-            algo, evolve_steps=50
-        )
+        # regressions the fresh number is blind to (VERDICT item 7);
+        # 3-D is the reference's own benchmark dim (ci/benchmark:78-99)
+        for dim in (2, 3):
+            tree[f"{algo}_1m_{dim}d_evolved_sec_per_step"] = measure_tree(
+                algo, evolve_steps=50, dim=dim
+            )
     print(
         json.dumps(
             {

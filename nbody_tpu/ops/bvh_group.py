@@ -418,7 +418,7 @@ def _finish_grouped(acc, xt, tile_over, ncount, lcount, ncnt, lcnt, m, x, n,
     jax.jit,
     static_argnames=("theta", "G", "eps", "tile", "window_tiles",
                      "interpret", "e_chunk", "nrows", "s_target",
-                     "refine_levels", "ablate"),
+                     "refine_levels", "ablate", "epg"),
 )
 def compute_force_grouped_windowed(
     tree: BVHTree,
@@ -436,6 +436,7 @@ def compute_force_grouped_windowed(
     s_target: int = 512,
     refine_levels: int | None = None,
     ablate: str = "",
+    epg: int = 4,
 ):
     """Gather-free grouped BVH force (fp32 TPU fast path).
 
@@ -591,7 +592,9 @@ def compute_force_grouped_windowed(
     npt = tile // S                      # L*-nodes per body-tile
     wnodes = wt * npt
     t_idx = jnp.arange(ntiles, dtype=jnp.int32)
+    wjf = 4 if wt % 4 == 0 else (2 if wt % 2 == 0 else 1)
     w0 = jnp.clip(tile0 + t_idx - wt // 2, 0, ntiles_g - wt)  # global tiles
+    w0 = (w0 // wjf) * wjf   # j-group alignment (see window_eval_pallas)
     w0n = w0 * npt                                          # node units
     nodes_total = 1 << level_star
     col = w0n[:, None] + jnp.arange(wnodes, dtype=jnp.int32)[None, :]
@@ -606,7 +609,7 @@ def compute_force_grouped_windowed(
     else:
         near = window_eval_pallas(
             xp.reshape(npad, dim), mp_g, xp_g.T, body_mask, w0, float(eps),
-            window_tiles=wt, interpret=interpret,
+            window_tiles=wt, interpret=interpret, wj=wjf,
         )
 
     # ---- residual: open nodes OUTSIDE the window -----------------------
@@ -736,6 +739,7 @@ def compute_force_grouped_windowed(
     per_tile_est = min(R_slice, (96 if dim == 2 else 400) << ref_lv)
     n_chunks = max(1, min(20, -(-(ntiles * per_tile_est + ntiles) // E_CHUNK)))
     E_cap = min(ntiles * (R_slice + 1), n_chunks * E_CHUNK)
+    E_cap = -(-E_cap // epg) * epg     # entry-packed steps (epg | E)
     if E_cap > E_CHUNK:          # chunked: round up to whole chunks
         E_cap = -(-E_cap // E_CHUNK) * E_CHUNK
     else:                        # small runs: one exact-size chunk
@@ -761,8 +765,10 @@ def compute_force_grouped_windowed(
     entries = (entries_gbe & jnp.int32(~0xFFFF)) | blk_tbl[gidx]
     lohis = lohi_tbl[gidx]
     pad_entry = (ntiles - 1) << 16
-    entries, lohis, n_merged = merge_contiguous_entries(
-        entries, lohis, end_rank[-1], pad_entry)
+    entries, lohis, n_merged, tend = merge_contiguous_entries(
+        entries, lohis, end_rank[-1], pad_entry, ntiles=ntiles, epg=epg)
+    if tend is not None:
+        tile_over = tile_over | (tend > E_cap)
 
     if "resid" in ablate:    # ablation probes only (wrong forces!)
         resid = jnp.zeros((npad, dim), dtype)
@@ -773,7 +779,7 @@ def compute_force_grouped_windowed(
             xp.reshape(npad, dim), mp_g, xp_g.T,
             entries.reshape(-1, E_CHUNK), lohis.reshape(-1, E_CHUNK),
             float(eps), S=Sd, tb=tile, interpret=interpret, softening="poly",
-            n_real=n_merged,
+            n_real=n_merged, epg=epg,
         )
 
     acc = far + near + resid

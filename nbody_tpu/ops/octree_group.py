@@ -46,16 +46,23 @@ from nbody_tpu.ops.octree import OctreeLevels
 K_CELL = 16  # max bodies expanded per open max-depth cell (else fallback)
 
 
-def merge_contiguous_entries(entries, lohis, n_raw, pad_entry):
+def merge_contiguous_entries(entries, lohis, n_raw, pad_entry,
+                             ntiles=None, epg=1):
     """Merge chains of touching same-block entries in a packed flat
     entry stream (self-describing lohi format: ent = tid << 16 | blk,
     lohi = lo | hi << 16, sorted per tile by (blk, lo)).
 
-    Each entry costs a full grid step + block DMA + tile x S pair
-    evaluation regardless of its [lo, hi) span, so merging touching
-    ranges that target the same S-block is a direct multiplier on the
-    near-field rate.  One shift + flag + cumsum recompaction, all flat
-    O(E_cap) ops.  Returns (entries, lohis, n_merged)."""
+    Each entry costs a fixed ~2 us of Mosaic grid-step sequencing on top
+    of its tile x S pair evaluation, so merging touching ranges that
+    target the same S-block is a direct multiplier on the near-field
+    rate.  One shift + flag + cumsum recompaction, all flat O(E_cap) ops.
+
+    With epg > 1 the evaluation kernel packs epg entries per grid step
+    (dividing the fixed cost by epg); every tile's entry count must then
+    be an epg multiple so one step never spans two tiles (each step owns
+    ONE output block).  The recompaction realigns per tile and fills the
+    round-up slack with no-op (lo == hi) entries carrying the tile's id.
+    Returns (entries, lohis, n_final)."""
     E_cap = entries.shape[0]
     ii = jnp.arange(E_cap, dtype=jnp.int32)
     prev_ent = jnp.concatenate([entries[:1] - 1, entries[:-1]])
@@ -69,10 +76,46 @@ def merge_contiguous_entries(entries, lohis, n_raw, pad_entry):
     glo = jnp.full((E_cap,), 0xFFFF, jnp.int32).at[gid].min(cur_lo)
     ghi = jnp.zeros((E_cap,), jnp.int32).at[gid].max((lohis >> 16) & 0xFFFF)
     gent = jnp.full((E_cap,), -1, jnp.int32).at[gid].max(entries)
-    entries = jnp.where(ii <= gid[-1], gent, pad_entry)
-    lohis = jnp.minimum(glo, ghi) | (ghi << 16)
-    n_merged = jnp.sum(keep & (ii < n_raw), dtype=jnp.int32)
-    return entries, lohis, n_merged
+    if epg == 1:
+        entries = jnp.where(ii <= gid[-1], gent, pad_entry)
+        lohis = jnp.minimum(glo, ghi) | (ghi << 16)
+        n_merged = jnp.sum(keep & (ii < n_raw), dtype=jnp.int32)
+        return entries, lohis, n_merged, None
+
+    # tile-aligned recompaction: dst = tile base (epg-rounded cumsum of
+    # merged per-tile counts) + rank within tile (gid - first gid of the
+    # tile; gids are contiguous ascending within a tile's kept entries)
+    keepr = keep & (ii < n_raw)
+    tid = entries >> 16
+    tid_d = jnp.where(keepr, tid, ntiles)             # dummy row ntiles
+    mcnt = jnp.zeros((ntiles + 1,), jnp.int32).at[tid_d].add(1)[:ntiles]
+    padded = -(-mcnt // epg) * epg
+    base = jnp.cumsum(padded) - padded
+    gmin = jnp.full((ntiles + 1,), BIG32_I, jnp.int32).at[tid_d].min(gid)
+    tid_c = jnp.minimum(tid, ntiles - 1)
+    dst = jnp.where(keepr, base[tid_c] + gid - gmin[tid_c], E_cap)
+    ent_i = gent[gid]
+    lohi_i = jnp.minimum(glo, ghi)[gid] | (ghi[gid] << 16)
+    out_ent = jnp.full((E_cap,), pad_entry, jnp.int32).at[dst].set(
+        ent_i, mode="drop")
+    out_lohi = jnp.zeros((E_cap,), jnp.int32).at[dst].set(
+        lohi_i, mode="drop")
+    # per-tile round-up slack: no-op entries with the tile's id
+    jj = jnp.arange(epg, dtype=jnp.int32)[None, :]
+    padv = jj < (padded - mcnt)[:, None]
+    pdst = jnp.where(padv, base[:, None] + mcnt[:, None] + jj, E_cap)
+    tids = jnp.arange(ntiles, dtype=jnp.int32)
+    out_ent = out_ent.at[pdst.reshape(-1)].set(
+        jnp.broadcast_to((tids << 16)[:, None], pdst.shape).reshape(-1),
+        mode="drop")
+    n_final = base[-1] + padded[-1]
+    # per-tile stream ends: a tile whose aligned stream spills past E_cap
+    # had entries dropped by mode="drop" -- the caller must route it to
+    # the exact fallback
+    return out_ent, out_lohi, n_final, base + padded
+
+
+BIG32_I = jnp.int32(0x7FFFFFFF)
 
 
 def default_caps(n: int, theta: float, dim: int) -> tuple[int, int]:
@@ -431,7 +474,7 @@ def compute_force_grouped(
     static_argnames=("depth", "theta", "G", "eps", "tile", "interpret",
                      "e_chunk", "nrows", "ablate", "window_tiles",
                      "depth_bias", "descend_levels", "descend_G",
-                     "descend_caps", "descend_maxb", "s_block"),
+                     "descend_caps", "descend_maxb", "s_block", "epg"),
 )
 def compute_force_grouped_fast(
     ms: jnp.ndarray,
@@ -456,6 +499,7 @@ def compute_force_grouped_fast(
     descend_caps: tuple = (1024, 1024, 2048),
     descend_maxb: int = 4,
     s_block: int | None = None,
+    epg: int = 4,
 ):
     """Gather-free grouped octree force (fp32 TPU fast path).
 
@@ -625,7 +669,9 @@ def compute_force_grouped_fast(
         cmax_l = cmax_l.reshape(-1, nbranch, dim).max(1)
         deep_stats[r] = (cnt_l, m_l, mx_l, cmin_l, cmax_l)
     counts_L, m_L, mx_L, cmin_L, cmax_L = deep_stats[0]
-    cellid = cid_d >> jnp.uint32(r_levels * dim)         # (n,) at L*
+    # plain python shift count: int32 >> uint32 promotes to int64 under
+    # x64 and poisons every downstream key/scatter dtype
+    cellid = cid_d >> (r_levels * dim)                   # (n,) at L*
 
     level_mass = [m_L]
     level_cnt = [counts_L]
@@ -664,7 +710,14 @@ def compute_force_grouped_fast(
     wt = min(window_tiles, ntiles_g)
     t_idx = jnp.arange(ntiles, dtype=jnp.int32)
     tile0 = row0 // tile
+    # align w0 down to the window kernel's j-group (each grid step pays
+    # ~2 us of Mosaic sequencing; grouping wj window tiles per step
+    # quarters the step count).  Alignment only shifts the window
+    # placement; the in-window interval [lo_t, hi_t) derives from the
+    # ALIGNED w0, so the exact/monopole partition stays consistent.
+    wjf = 4 if wt % 4 == 0 else (2 if wt % 2 == 0 else 1)
     w0 = jnp.clip(tile0 + t_idx - wt // 2, 0, ntiles_g - wt)
+    w0 = (w0 // wjf) * wjf
     w0_body = w0 * tile
     w1_body = w0_body + wt * tile
     cell_of_pad = jnp.concatenate(
@@ -824,6 +877,7 @@ def compute_force_grouped_fast(
         win = window_eval_pallas(
             xp.reshape(npad, dim), mp_g, xp_g.T, bmask, w0, float(eps),
             window_tiles=wt, interpret=interpret, softening="sqrt3",
+            wj=wjf,
         )
     far = far + win
 
@@ -891,6 +945,7 @@ def compute_force_grouped_fast(
         per_tile_est = 64 + ((560 if dim == 3 else 360) * 256) // S
         n_chunks = max(1, min(20, -(-(ntiles * per_tile_est + ntiles) // E_CHUNK)))
         E_cap = min(ntiles * (R_slice + 1), n_chunks * E_CHUNK)
+        E_cap = -(-E_cap // epg) * epg     # entry-packed steps (epg | E)
         if E_cap > E_CHUNK:          # chunked: round up to whole chunks
             E_cap = -(-E_cap // E_CHUNK) * E_CHUNK
         else:                        # small runs: one exact-size chunk
@@ -912,8 +967,10 @@ def compute_force_grouped_fast(
         entries = (entries_gbe & jnp.int32(~0xFFFF)) | gbe_blk[gidx]
         lohis = lohi_tbl[gidx]
         pad_entry = (ntiles - 1) << 16
-        entries, lohis, n_merged = merge_contiguous_entries(
-            entries, lohis, end_rank[-1], pad_entry)
+        entries, lohis, n_merged, tend = merge_contiguous_entries(
+            entries, lohis, end_rank[-1], pad_entry, ntiles=ntiles, epg=epg)
+        if tend is not None:
+            tile_over = tile_over | (tend > E_cap)
 
         if "near" in ablate:     # ablation probes only (wrong forces!)
             near = jnp.zeros((npad, dim), dtype)
@@ -925,7 +982,7 @@ def compute_force_grouped_fast(
                 entries.reshape(-1, E_CHUNK), lohis.reshape(-1, E_CHUNK),
                 float(eps), S=S, tb=tile, interpret=interpret,
                 softening="sqrt3", n_real=n_merged,
-                skip_empty="skipempty" in ablate,
+                skip_empty="skipempty" in ablate, epg=epg,
             )
         n_entries_info = n_merged
         desc_diag = {"entries_raw": end_rank[-1]}
@@ -1058,6 +1115,7 @@ def compute_force_grouped_fast(
         n_chunks = max(
             1, min(20, -(-(ntiles * per_tile_est + ntiles) // E_CHUNK)))
         E_cap = min(ntiles * (Kf * descend_maxb + 1), n_chunks * E_CHUNK)
+        E_cap = -(-E_cap // epg) * epg     # entry-packed steps (epg | E)
         if E_cap > E_CHUNK:          # chunked: round up to whole chunks
             E_cap = -(-E_cap // E_CHUNK) * E_CHUNK
         else:                        # small runs: one exact-size chunk
@@ -1077,8 +1135,10 @@ def compute_force_grouped_fast(
         # survivor cells are small (~1/8^r of an L* cell) and Morton-
         # adjacent: consecutive entries of one tile often target the SAME
         # S-block with touching [lo, hi) ranges -- merge them
-        entries, lohis, n_real2 = merge_contiguous_entries(
-            entries, lohis, n_raw, pad_entry)
+        entries, lohis, n_real2, tend = merge_contiguous_entries(
+            entries, lohis, n_raw, pad_entry, ntiles=ntiles, epg=epg)
+        if tend is not None:
+            tile_over = tile_over | (tend > E_cap)
 
         if "near" in ablate:     # ablation probes only (wrong forces!)
             near = jnp.zeros((npad, dim), dtype)
@@ -1087,7 +1147,8 @@ def compute_force_grouped_fast(
                 xp.reshape(npad, dim), mp_g, xp_g.T,
                 entries.reshape(-1, E_CHUNK), lohis.reshape(-1, E_CHUNK),
                 float(eps), S=S, tb=tile, interpret=interpret,
-                softening="sqrt3", n_real=n_real2)
+                softening="sqrt3", n_real=n_real2,
+                skip_empty="skipempty" in ablate, epg=epg)
         n_entries_info = n_real2
         desc_diag = dict(res.diag)
         desc_diag["entries_raw"] = n_raw

@@ -206,7 +206,7 @@ def masked_eval_pallas(
 
 @functools.partial(
     jax.jit,
-    static_argnames=("eps", "window_tiles", "interpret", "softening"),
+    static_argnames=("eps", "window_tiles", "interpret", "softening", "wj"),
 )
 def window_eval_pallas(
     xi: jnp.ndarray,
@@ -417,9 +417,8 @@ def _entries_tables_kernel(dim, eps, softening, S, ent_ref, blk_ref,
             out_ref[:, d] += jnp.sum(w * dx[d], axis=1)
 
 
-def _entries_lohi_kernel(dim, eps, softening, S, skip_empty, ent_ref,
-                         lohi_ref, xi_ref, xjt_ref, mj_ref, init_ref,
-                         out_ref):
+def _entries_lohi_kernel(dim, eps, softening, S, skip_empty, epg, ent_ref,
+                         lohi_ref, xi_ref, *rest):
     """Self-describing entry evaluation (sparse-descent near field): each
     entry carries its own j block id (tile_id << 16 | blk) and [lo, hi)
     subrange (lo | hi << 16) -- no run-table indirection, so entries can
@@ -429,50 +428,58 @@ def _entries_lohi_kernel(dim, eps, softening, S, skip_empty, ent_ref,
     because a per-entry pl.when stalls Mosaic's pipeline (measured 1.6x
     on small blocks; post-merge streams carry one sentinel per tile, so
     the wasted math is ~ntiles * tb * S pair slots, noise)."""
+    xjt_refs = rest[:epg]
+    mj_refs = rest[epg:2 * epg]
+    out_ref = rest[2 * epg + 1]
     e = pl.program_id(0)
-    ent = ent_ref[e]
-    tid = ent >> 16
-    prev = ent_ref[jnp.maximum(e - 1, 0)] >> 16
+    ent0 = ent_ref[e * epg]
+    tid = ent0 >> 16
+    prev = ent_ref[jnp.maximum(e * epg - epg, 0)] >> 16
 
     @pl.when((e == 0) | (tid != prev))
     def _():
         out_ref[:, :] = jnp.zeros_like(out_ref)
 
-    lohi = lohi_ref[e]
-    lo = lohi & 0xFFFF
-    hi = lohi >> 16
+    xi = xi_ref[:, :]
+    eps_v = jnp.asarray(eps, xi.dtype)
+    lane = jax.lax.broadcasted_iota(jnp.int32, (1, S), 1)
 
-    def body():
-        xi = xi_ref[:, :]
-        eps_v = jnp.asarray(eps, xi.dtype)
-        lane = jax.lax.broadcasted_iota(jnp.int32, (1, S), 1)
-        sel = ((lane >= lo) & (lane < hi)).astype(xi.dtype)
-        dx = []
-        d2 = None
-        for d in range(dim):
-            xd = xjt_ref[d, :][None, :] - xi[:, d][:, None]
-            dx.append(xd)
-            d2 = xd * xd if d2 is None else d2 + xd * xd
-        if softening == "poly":
-            t = d2 * jnp.sqrt(d2) + eps_v
+    def one(k):
+        lohi = lohi_ref[e * epg + k]
+        lo = lohi & 0xFFFF
+        hi = lohi >> 16
+
+        def body():
+            sel = ((lane >= lo) & (lane < hi)).astype(xi.dtype)
+            dx = []
+            d2 = None
+            for d in range(dim):
+                xd = xjt_refs[k][d, :][None, :] - xi[:, d][:, None]
+                dx.append(xd)
+                d2 = xd * xd if d2 is None else d2 + xd * xd
+            if softening == "poly":
+                t = d2 * jnp.sqrt(d2) + eps_v
+            else:
+                s = jnp.sqrt(d2) + eps_v
+                t = s * s * s
+            r = pl.reciprocal(t, approx=True)
+            r = r * (jnp.asarray(2.0, xi.dtype) - t * r)
+            w = (sel * mj_refs[k][0, :][None, :]) * r
+            for d in range(dim):
+                out_ref[:, d] += jnp.sum(w * dx[d], axis=1)
+
+        if skip_empty:
+            pl.when(hi > lo)(body)
         else:
-            s = jnp.sqrt(d2) + eps_v
-            t = s * s * s
-        r = pl.reciprocal(t, approx=True)
-        r = r * (jnp.asarray(2.0, xi.dtype) - t * r)
-        w = (sel * mj_ref[0, :][None, :]) * r
-        for d in range(dim):
-            out_ref[:, d] += jnp.sum(w * dx[d], axis=1)
+            body()
 
-    if skip_empty:
-        pl.when(hi > lo)(body)
-    else:
-        body()
+    for k in range(epg):
+        one(k)
 
 
 @functools.partial(
     jax.jit, static_argnames=("eps", "S", "tb", "interpret", "softening",
-                              "skip_empty")
+                              "skip_empty", "epg")
 )
 def entries_lohi_eval_pallas(
     xi: jnp.ndarray,
@@ -487,11 +494,17 @@ def entries_lohi_eval_pallas(
     softening: str = "poly",
     n_real=None,
     skip_empty: bool = False,
+    epg: int = 1,
 ) -> jnp.ndarray:
     """Chunked self-describing entry evaluation (see the kernel).  entries
     and lohis are 1-D or (nchunks, E); entries must be sorted by tile id,
     with a per-tile sentinel (lo == hi) leading each tile's run.  Chunks
-    past n_real are skipped with lax.cond (they are all padding)."""
+    past n_real are skipped with lax.cond (they are all padding).
+
+    epg packs epg consecutive entries into one grid step (each step pays
+    a fixed ~2 us of Mosaic sequencing, so packing divides it by epg);
+    requires every tile's entry count to be an epg multiple (see
+    merge_contiguous_entries' aligned recompaction) and epg | E."""
     dim = xi.shape[1]
     ntiles = xi.shape[0] // tb
     dtype = xi.dtype
@@ -499,29 +512,42 @@ def entries_lohi_eval_pallas(
         entries = entries[None, :]
         lohis = lohis[None, :]
     nchunks, E = entries.shape
+    if E % epg:
+        raise ValueError("epg must divide the chunk width")
 
     kernel = functools.partial(_entries_lohi_kernel, dim, float(eps),
-                               softening, S, skip_empty)
+                               softening, S, skip_empty, epg)
+
+    def jspec(k):
+        return pl.BlockSpec(
+            (dim, S), lambda e, ent, lh, _k=k: (0, ent[e * epg + _k] & 0xFFFF))
+
+    def mspec(k):
+        return pl.BlockSpec(
+            (1, S), lambda e, ent, lh, _k=k: (0, ent[e * epg + _k] & 0xFFFF))
+
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=2,
-        grid=(E,),
+        grid=(E // epg,),
         in_specs=[
-            pl.BlockSpec((tb, dim), lambda e, ent, lh: (ent[e] >> 16, 0)),
-            pl.BlockSpec((dim, S), lambda e, ent, lh: (0, ent[e] & 0xFFFF)),
-            pl.BlockSpec((1, S), lambda e, ent, lh: (0, ent[e] & 0xFFFF)),
+            pl.BlockSpec((tb, dim),
+                         lambda e, ent, lh: (ent[e * epg] >> 16, 0)),
+            *[jspec(k) for k in range(epg)],
+            *[mspec(k) for k in range(epg)],
             pl.BlockSpec(memory_space=pl.ANY),
         ],
         out_specs=pl.BlockSpec((tb, dim), lambda e, ent, lh:
-                               (ent[e] >> 16, 0)),
+                               (ent[e * epg] >> 16, 0)),
     )
 
     def one_chunk(ent_chunk, lohi_chunk):
         init = jnp.zeros((ntiles * tb, dim), dtype)
+        mj2 = mj.reshape(1, -1)
         return pl.pallas_call(
             kernel,
             grid_spec=grid_spec,
             out_shape=jax.ShapeDtypeStruct((ntiles * tb, dim), dtype),
-            input_output_aliases={5: 0},
+            input_output_aliases={2 * epg + 3: 0},
             cost_estimate=pl.CostEstimate(
                 flops=int(13 * tb) * int(E) * int(S),
                 bytes_accessed=int(E * (tb + S) * dim * 4),
@@ -529,7 +555,7 @@ def entries_lohi_eval_pallas(
             ),
             interpret=interpret,
         )(ent_chunk.astype(jnp.int32), lohi_chunk.astype(jnp.int32),
-          xi, xjt, mj.reshape(1, -1), init)
+          xi, *([xjt] * epg), *([mj2] * epg), init)
 
     out = one_chunk(entries[0], lohis[0])
     for c in range(1, nchunks):
