@@ -430,7 +430,7 @@ def compute_force_grouped_windowed(
     tile: int = 512,
     window_tiles: int = 32,
     interpret: bool = False,
-    e_chunk: int = 49152,
+    e_chunk: int = 24576,
     row_start=None,
     nrows: int | None = None,
     s_target: int = 512,
@@ -737,7 +737,7 @@ def compute_force_grouped_windowed(
     # residual count (survivor siblings merge back below, so the EVALUATED
     # entry count never exceeds the unrefined one)
     per_tile_est = min(R_slice, (96 if dim == 2 else 400) << ref_lv)
-    n_chunks = max(1, min(20, -(-(ntiles * per_tile_est + ntiles) // E_CHUNK)))
+    n_chunks = max(1, min(40, -(-(ntiles * per_tile_est + ntiles) // E_CHUNK)))
     E_cap = min(ntiles * (R_slice + 1), n_chunks * E_CHUNK)
     E_cap = -(-E_cap // epg) * epg     # entry-packed steps (epg | E)
     if E_cap > E_CHUNK:          # chunked: round up to whole chunks

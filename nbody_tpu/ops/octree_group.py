@@ -488,7 +488,7 @@ def compute_force_grouped_fast(
     eps: float,
     tile: int = 512,
     interpret: bool = False,
-    e_chunk: int = 49152,
+    e_chunk: int = 24576,
     row_start=None,
     nrows: int | None = None,
     ablate: str = "",
@@ -824,45 +824,54 @@ def compute_force_grouped_fast(
     # group_shared_masked_eval_pallas at T x TB x far_cap pair slots.
     # A supertile whose union overflows far_cap sends its member tiles
     # to the exact fallback (truncation structurally impossible).
-    from nbody_tpu.ops.tree_descend import BIG32, _compact
+    if "farcompact" in ablate:
+        from nbody_tpu.ops.tree_descend import BIG32, _compact
 
-    far_G = 8
-    far_cap = min(W_heap, 8192)
-    Tsf = -(-ntiles // far_G)
-    Tpf = Tsf * far_G
-    accp = acc_bool
-    if Tpf != ntiles:
-        accp = jnp.pad(acc_bool, ((0, Tpf - ntiles), (0, 0)))
-    accp = accp.reshape(Tsf, far_G, W_heap)
-    fbits0 = jnp.zeros((Tsf, W_heap), jnp.int32)
-    for g in range(far_G):
-        fbits0 = fbits0 | (accp[:, g, :].astype(jnp.int32) << g)
-    fids0 = jnp.broadcast_to(
-        jnp.arange(W_heap, dtype=jnp.int32)[None, :], (Tsf, W_heap))
-    fids, fbits, fcnt = _compact(fids0, fbits0, far_cap)
-    far_over = jnp.broadcast_to(
-        (fcnt > far_cap)[:, None], (Tsf, far_G)).reshape(Tpf)[:ntiles]
-    fvalid = fids != BIG32
-    fidc = jnp.where(fvalid, fids, 0)
-    fmass = jnp.where(fvalid, mm_heap[fidc], 0.0)
-    fcom = com_heap[fidc]                                   # (Tsf, cap, dim)
-    gfv = jnp.arange(far_G, dtype=jnp.int32)
-    fmask = ((fbits[:, None, :] >> gfv[None, :, None]) & 1) \
-        .astype(dtype).reshape(Tpf, -1)[:ntiles]
+        far_G = 8
+        far_cap = min(W_heap, 8192)
+        Tsf = -(-ntiles // far_G)
+        Tpf = Tsf * far_G
+        accp = acc_bool
+        if Tpf != ntiles:
+            accp = jnp.pad(acc_bool, ((0, Tpf - ntiles), (0, 0)))
+        accp = accp.reshape(Tsf, far_G, W_heap)
+        fbits0 = jnp.zeros((Tsf, W_heap), jnp.int32)
+        for g in range(far_G):
+            fbits0 = fbits0 | (accp[:, g, :].astype(jnp.int32) << g)
+        fids0 = jnp.broadcast_to(
+            jnp.arange(W_heap, dtype=jnp.int32)[None, :], (Tsf, W_heap))
+        fids, fbits, fcnt = _compact(fids0, fbits0, far_cap)
+        far_over = jnp.broadcast_to(
+            (fcnt > far_cap)[:, None], (Tsf, far_G)).reshape(Tpf)[:ntiles]
+        fvalid = fids != BIG32
+        fidc = jnp.where(fvalid, fids, 0)
+        fmass = jnp.where(fvalid, mm_heap[fidc], 0.0)
+        fcom = com_heap[fidc]                               # (Tsf, cap, dim)
+        gfv = jnp.arange(far_G, dtype=jnp.int32)
+        fmask = ((fbits[:, None, :] >> gfv[None, :, None]) & 1) \
+            .astype(dtype).reshape(Tpf, -1)[:ntiles]
+    else:
+        far_over = jnp.zeros((ntiles,), jnp.bool_)
     if "far" in ablate:      # ablation probes only (wrong forces!)
         far = jnp.zeros((npad, dim), dtype)
-    elif "fardense" in ablate:   # A/B probe: round-2 dense masked eval
+    elif "farcompact" in ablate:
+        # measured SLOWER than the dense eval (1.71 vs 1.57 s at n=1M
+        # 3-D): the compaction build (bit-fold + (Ts, W) sort + mask
+        # expansion) costs more than the masked eval saves, because the
+        # dense kernel's AFFINE index maps pipeline cleanly -- the ~2 us
+        # per-step penalty only applies to scalar-prefetch-driven maps.
+        # Kept as an opt-in for very deep heaps (W >> 37k).
+        far = group_shared_masked_eval_pallas(
+            xp.reshape(npad, dim), fmass, jnp.swapaxes(fcom, 1, 2),
+            fmask, float(eps), far_G,
+            interpret=interpret, softening="sqrt3",
+        )
+    else:
         from nbody_tpu.ops.pallas_group_eval import masked_eval_pallas
 
         far = masked_eval_pallas(
             xp.reshape(npad, dim), mm_heap, com_heap.T,
             acc_bool.astype(dtype), float(eps),
-            interpret=interpret, softening="sqrt3",
-        )
-    else:
-        far = group_shared_masked_eval_pallas(
-            xp.reshape(npad, dim), fmass, jnp.swapaxes(fcom, 1, 2),
-            fmask, float(eps), far_G,
             interpret=interpret, softening="sqrt3",
         )
 
@@ -943,7 +952,7 @@ def compute_force_grouped_fast(
         # entries where fresh wants ~300k and the old budget of 393k put 482
         # tiles into fallback at 2.5 s/step)
         per_tile_est = 64 + ((560 if dim == 3 else 360) * 256) // S
-        n_chunks = max(1, min(20, -(-(ntiles * per_tile_est + ntiles) // E_CHUNK)))
+        n_chunks = max(1, min(40, -(-(ntiles * per_tile_est + ntiles) // E_CHUNK)))
         E_cap = min(ntiles * (R_slice + 1), n_chunks * E_CHUNK)
         E_cap = -(-E_cap // epg) * epg     # entry-packed steps (epg | E)
         if E_cap > E_CHUNK:          # chunked: round up to whole chunks
@@ -982,7 +991,7 @@ def compute_force_grouped_fast(
                 entries.reshape(-1, E_CHUNK), lohis.reshape(-1, E_CHUNK),
                 float(eps), S=S, tb=tile, interpret=interpret,
                 softening="sqrt3", n_real=n_merged,
-                skip_empty="skipempty" in ablate, epg=epg,
+                skip_empty="noskip" not in ablate, epg=epg,
             )
         n_entries_info = n_merged
         desc_diag = {"entries_raw": end_rank[-1]}
@@ -1113,7 +1122,7 @@ def compute_force_grouped_fast(
         E_CHUNK = e_chunk
         per_tile_est = 128 if dim == 2 else 256
         n_chunks = max(
-            1, min(20, -(-(ntiles * per_tile_est + ntiles) // E_CHUNK)))
+            1, min(40, -(-(ntiles * per_tile_est + ntiles) // E_CHUNK)))
         E_cap = min(ntiles * (Kf * descend_maxb + 1), n_chunks * E_CHUNK)
         E_cap = -(-E_cap // epg) * epg     # entry-packed steps (epg | E)
         if E_cap > E_CHUNK:          # chunked: round up to whole chunks
@@ -1148,7 +1157,7 @@ def compute_force_grouped_fast(
                 entries.reshape(-1, E_CHUNK), lohis.reshape(-1, E_CHUNK),
                 float(eps), S=S, tb=tile, interpret=interpret,
                 softening="sqrt3", n_real=n_real2,
-                skip_empty="skipempty" in ablate, epg=epg)
+                skip_empty="noskip" not in ablate, epg=epg)
         n_entries_info = n_real2
         desc_diag = dict(res.diag)
         desc_diag["entries_raw"] = n_raw

@@ -424,10 +424,9 @@ def _entries_lohi_kernel(dim, eps, softening, S, skip_empty, epg, ent_ref,
     subrange (lo | hi << 16) -- no run-table indirection, so entries can
     reference ARBITRARY body subranges (deep-cell ranges straddle block
     boundaries).  lo == hi is the padding sentinel; by default it is
-    evaluated UNCONDITIONALLY (the [lo, hi) lane mask already zeroes it)
-    because a per-entry pl.when stalls Mosaic's pipeline (measured 1.6x
-    on small blocks; post-merge streams carry one sentinel per tile, so
-    the wasted math is ~ntiles * tb * S pair slots, noise)."""
+    SKIPPED with pl.when (measured A/B at n=1M 3-D: skipping saves
+    ~0.09 s of pad-tail math and, unlike the small-block case where
+    pl.when stalled Mosaic 1.6x, costs nothing at 512x1024 blocks)."""
     xjt_refs = rest[:epg]
     mj_refs = rest[epg:2 * epg]
     out_ref = rest[2 * epg + 1]
@@ -493,7 +492,7 @@ def entries_lohi_eval_pallas(
     interpret: bool = False,
     softening: str = "poly",
     n_real=None,
-    skip_empty: bool = False,
+    skip_empty: bool = True,
     epg: int = 1,
 ) -> jnp.ndarray:
     """Chunked self-describing entry evaluation (see the kernel).  entries
