@@ -143,43 +143,59 @@ def measure_tree(algorithm: str, evolve_steps: int = 0, dim: int = 2) -> float:
                                  repeats=2)
 
 
+def _measure_safe(errors: dict, name: str, fn, *args, **kwargs):
+    """One metric must never lose the whole JSON (BENCH_r02 was rc=1
+    because one failed compile aborted main before the print).  Retries
+    once -- the axon tunnel's compile helper crashes transiently
+    (CLAUDE.md) -- then records the error string and moves on."""
+    for attempt in (0, 1):
+        try:
+            return fn(*args, **kwargs)
+        except Exception as e:  # noqa: BLE001 - resilience by contract
+            err = f"{type(e).__name__}: {e}"
+            if attempt == 1:
+                errors[name] = err[:500]
+    return None
+
+
 def main() -> int:
-    r3 = measure_dim(3)
-    r3f = measure_dim(3, fast=True)
-    r2 = measure_dim(2)
+    errors: dict = {}
+    r3 = _measure_safe(errors, "allpairs_3d", measure_dim, 3)
+    r3f = _measure_safe(errors, "allpairs_3d_fast", measure_dim, 3, fast=True)
+    r2 = _measure_safe(errors, "allpairs_2d", measure_dim, 2)
     tree = {}
     for algo in ("bvh", "octree"):
         for dim in (2, 3):
-            tree[f"{algo}_1m_{dim}d_sec_per_step"] = measure_tree(
-                algo, dim=dim
+            tree[f"{algo}_1m_{dim}d_sec_per_step"] = _measure_safe(
+                errors, f"{algo}_{dim}d", measure_tree, algo, dim=dim
             )
         # evolved state (50 pre-roll steps): catches state-dependent
         # regressions the fresh number is blind to (VERDICT item 7);
         # 3-D is the reference's own benchmark dim (ci/benchmark:78-99)
         for dim in (2, 3):
-            tree[f"{algo}_1m_{dim}d_evolved_sec_per_step"] = measure_tree(
-                algo, evolve_steps=50, dim=dim
+            tree[f"{algo}_1m_{dim}d_evolved_sec_per_step"] = _measure_safe(
+                errors, f"{algo}_{dim}d_evolved", measure_tree, algo,
+                evolve_steps=50, dim=dim
             )
-    print(
-        json.dumps(
-            {
-                "metric": "all-pairs fp32 pairwise interactions/sec/chip (N=2^20, 3-D)",
-                "value": r3["int_per_s"],
-                "unit": "interactions/s",
-                "vs_baseline": r3["int_per_s"] / TARGET,
-                "n": N,
-                "sec_per_step_3d": r3["sec_per_step"],
-                "dim2_int_per_s": r2["int_per_s"],
-                "sec_per_step_2d": r2["sec_per_step"],
-                # fast variant: adaptive per-tile unsoftened rsqrt^3 chain,
-                # bounded <=1e-6 relative force error (pallas_allpairs.py)
-                "fast_variant_int_per_s_3d": r3f["int_per_s"],
-                "vpu_slot_utilization_3d": r3["vpu_slot_utilization"],
-                "vpu_slot_utilization_2d": r2["vpu_slot_utilization"],
-                **tree,
-            }
-        )
-    )
+    record = {
+        "metric": "all-pairs fp32 pairwise interactions/sec/chip (N=2^20, 3-D)",
+        "value": r3["int_per_s"] if r3 else None,
+        "unit": "interactions/s",
+        "vs_baseline": (r3["int_per_s"] / TARGET) if r3 else None,
+        "n": N,
+        "sec_per_step_3d": r3["sec_per_step"] if r3 else None,
+        "dim2_int_per_s": r2["int_per_s"] if r2 else None,
+        "sec_per_step_2d": r2["sec_per_step"] if r2 else None,
+        # fast variant: adaptive per-tile unsoftened rsqrt^3 chain,
+        # bounded <=1e-6 relative force error (pallas_allpairs.py)
+        "fast_variant_int_per_s_3d": r3f["int_per_s"] if r3f else None,
+        "vpu_slot_utilization_3d": r3["vpu_slot_utilization"] if r3 else None,
+        "vpu_slot_utilization_2d": r2["vpu_slot_utilization"] if r2 else None,
+        **tree,
+    }
+    if errors:
+        record["errors"] = errors
+    print(json.dumps(record))
     return 0
 
 

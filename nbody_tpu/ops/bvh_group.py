@@ -604,7 +604,7 @@ def compute_force_grouped_windowed(
     body_mask = jnp.broadcast_to(
         in_win.astype(dtype)[:, :, None], (ntiles, wnodes, S)
     ).reshape(ntiles, wt * tile)
-    if "win" in ablate:      # ablation probes only (wrong forces!)
+    if "win" in ablate.split(","):      # ablation probes only (wrong forces!)
         near = jnp.zeros((npad, dim), dtype)
     else:
         near = window_eval_pallas(
@@ -691,7 +691,7 @@ def compute_force_grouped_windowed(
     # same prefix)
     W = (1 << (level_star + ref_lv + 1)) - 1
     far_mask = jnp.concatenate(accept_masks, axis=1).astype(dtype)  # (T, W)
-    if "far" in ablate:      # ablation probes only (wrong forces!)
+    if "far" in ablate.split(","):      # ablation probes only (wrong forces!)
         far = jnp.zeros((npad, dim), dtype)
     else:
         far = masked_eval_pallas(
@@ -770,9 +770,9 @@ def compute_force_grouped_windowed(
     if tend is not None:
         tile_over = tile_over | (tend > E_cap)
 
-    if "resid" in ablate:    # ablation probes only (wrong forces!)
+    if "resid" in ablate.split(","):    # ablation probes only (wrong forces!)
         resid = jnp.zeros((npad, dim), dtype)
-    elif "rlist" in ablate:  # keep entry-list BUILD, skip only the eval
+    elif "rlist" in ablate.split(","):  # keep entry-list BUILD, skip only the eval
         resid = jnp.zeros((npad, dim), dtype) + entries.sum().astype(dtype)
     else:
         resid = entries_lohi_eval_pallas(

@@ -40,6 +40,7 @@ from functools import partial
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 
 from nbody_tpu.ops.octree import OctreeLevels
 
@@ -115,7 +116,14 @@ def merge_contiguous_entries(entries, lohis, n_raw, pad_entry,
     return out_ent, out_lohi, n_final, base + padded
 
 
-BIG32_I = jnp.int32(0x7FFFFFFF)
+# np (not jnp) on purpose: this module is lazily imported from inside
+# traced functions (e.g. bvh_group's merge import), and a module-level
+# jnp scalar created under an active DynamicJaxprTrace is a TRACER --
+# it leaks into every later trace as a lifted const arg that the C++
+# pjit fastpath then drops at dispatch ("Executable expected parameter
+# 0 of size 4 but got buffer with incompatible size ..."), the round-2
+# full-suite-only red-test bug.  Plain numpy embeds as a literal.
+BIG32_I = np.int32(0x7FFFFFFF)
 
 
 def default_caps(n: int, theta: float, dim: int) -> tuple[int, int]:
@@ -764,7 +772,7 @@ def compute_force_grouped_fast(
         dmin2 = jnp.sum(dmin_v * dmin_v, axis=-1)
         width = jnp.max(level_cmax[l] - level_cmin[l], axis=-1)
         weff = jnp.where(heap_cnt[l] > 0, width, 0.0)[None, :]
-        if "sidefloor" in ablate:   # A/B probe: round-2 nominal-side floor
+        if "sidefloor" in ablate.split(","):   # A/B probe: round-2 nominal-side floor
             weff = jnp.maximum(weff, jnp.max(hi - lo) /
                                jnp.asarray(float(1 << l), dtype))
         single = (heap_cnt[l] == 1)[None, :]
@@ -787,7 +795,7 @@ def compute_force_grouped_fast(
     # passes against EVERY sub-tile box of the tile is a valid
     # theta-monopole for the whole tile and joins the far-field mask;
     # only the remainder becomes exact near-field entries.
-    skip_mono = "mono" in ablate   # ablation probes only
+    skip_mono = "mono" in ablate.split(",")   # ablation probes only
     nsub = max(1, min(8, tile // 8))
     stb = tile // nsub
     sb_lo = jnp.min(xt_real.reshape(ntiles, nsub, stb, dim), axis=2)
@@ -824,7 +832,7 @@ def compute_force_grouped_fast(
     # group_shared_masked_eval_pallas at T x TB x far_cap pair slots.
     # A supertile whose union overflows far_cap sends its member tiles
     # to the exact fallback (truncation structurally impossible).
-    if "farcompact" in ablate:
+    if "farcompact" in ablate.split(","):
         from nbody_tpu.ops.tree_descend import BIG32, _compact
 
         far_G = 8
@@ -852,9 +860,9 @@ def compute_force_grouped_fast(
             .astype(dtype).reshape(Tpf, -1)[:ntiles]
     else:
         far_over = jnp.zeros((ntiles,), jnp.bool_)
-    if "far" in ablate:      # ablation probes only (wrong forces!)
+    if "far" in ablate.split(","):      # ablation probes only (wrong forces!)
         far = jnp.zeros((npad, dim), dtype)
-    elif "farcompact" in ablate:
+    elif "farcompact" in ablate.split(","):
         # measured SLOWER than the dense eval (1.71 vs 1.57 s at n=1M
         # 3-D): the compaction build (bit-fold + (Ts, W) sort + mask
         # expansion) costs more than the masked eval saves, because the
@@ -880,7 +888,7 @@ def compute_force_grouped_fast(
                                               dtype=jnp.int32)[None, :]
     bmask = ((cols_body >= lo_t[:, None]) &
              (cols_body < hi_t[:, None])).astype(dtype)
-    if "win" in ablate:      # ablation probes only (wrong forces!)
+    if "win" in ablate.split(","):      # ablation probes only (wrong forces!)
         win = jnp.zeros((npad, dim), dtype)
     else:
         win = window_eval_pallas(
@@ -981,9 +989,9 @@ def compute_force_grouped_fast(
         if tend is not None:
             tile_over = tile_over | (tend > E_cap)
 
-        if "near" in ablate:     # ablation probes only (wrong forces!)
+        if "near" in ablate.split(","):     # ablation probes only (wrong forces!)
             near = jnp.zeros((npad, dim), dtype)
-        elif "nlist" in ablate:  # keep entry-list BUILD, skip only the eval
+        elif "nlist" in ablate.split(","):  # keep entry-list BUILD, skip only the eval
             near = jnp.zeros((npad, dim), dtype) + entries.sum().astype(dtype)
         else:
             near = entries_lohi_eval_pallas(
@@ -991,7 +999,7 @@ def compute_force_grouped_fast(
                 entries.reshape(-1, E_CHUNK), lohis.reshape(-1, E_CHUNK),
                 float(eps), S=S, tb=tile, interpret=interpret,
                 softening="sqrt3", n_real=n_merged,
-                skip_empty="noskip" not in ablate, epg=epg,
+                skip_empty="noskip" not in ablate.split(","), epg=epg,
             )
         n_entries_info = n_merged
         desc_diag = {"entries_raw": end_rank[-1]}
@@ -1149,7 +1157,7 @@ def compute_force_grouped_fast(
         if tend is not None:
             tile_over = tile_over | (tend > E_cap)
 
-        if "near" in ablate:     # ablation probes only (wrong forces!)
+        if "near" in ablate.split(","):     # ablation probes only (wrong forces!)
             near = jnp.zeros((npad, dim), dtype)
         else:
             near = entries_lohi_eval_pallas(
@@ -1157,14 +1165,14 @@ def compute_force_grouped_fast(
                 entries.reshape(-1, E_CHUNK), lohis.reshape(-1, E_CHUNK),
                 float(eps), S=S, tb=tile, interpret=interpret,
                 softening="sqrt3", n_real=n_real2,
-                skip_empty="noskip" not in ablate, epg=epg)
+                skip_empty="noskip" not in ablate.split(","), epg=epg)
         n_entries_info = n_real2
         desc_diag = dict(res.diag)
         desc_diag["entries_raw"] = n_raw
         fcnt = jnp.where(res.final_valid, cnt_d_arr[fidc], 0)
         desc_diag["final_mass"] = jnp.sum(
             jnp.where(memb, fcnt[:, None, :], 0), dtype=jnp.int32)
-        if "dbg" in ablate:      # debug stash (smoke scripts only)
+        if "dbg" in ablate.split(","):      # debug stash (smoke scripts only)
             desc_diag["_dbg"] = {
                 "res": res, "entries": entries, "lohis": lohis,
                 "mono_far": mono_far, "ent_near": near,

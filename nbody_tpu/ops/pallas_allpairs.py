@@ -135,6 +135,12 @@ def allpairs_accel_pallas(
     """
     n, dim = x.shape
     dtype = x.dtype
+    if fast and dim >= 3:
+        # the two pl.when branches extend the (TI, TJ) temporaries'
+        # liveness; at 512x2048 3-D that is 17 MB of scoped VMEM vs the
+        # 16 MB limit (the round-2 BENCH failure: the fast variant never
+        # compiled at N=2^20).  Halving TJ keeps both branches resident.
+        tile_j = min(tile_j, 1024)
     npad = _round_up(max(n, tile_i, tile_j), max(tile_i, tile_j))
     xp = jnp.pad(x, ((0, npad - n), (0, 0)))
     mp = jnp.pad(m, (0, npad - n)).reshape(1, npad)

@@ -46,8 +46,12 @@ from typing import Callable, NamedTuple, Sequence
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 
-BIG32 = jnp.int32(0x7FFFFFFF)
+# np (not jnp): a module-level jnp scalar becomes a leaked TRACER when the
+# module is first imported from inside a traced function (see the
+# BIG32_I note in octree_group.py); numpy embeds as a literal.
+BIG32 = np.int32(0x7FFFFFFF)
 
 
 class DescendResult(NamedTuple):

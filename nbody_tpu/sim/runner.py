@@ -115,6 +115,14 @@ def run_algorithm(algo_name: str, cfg: SimConfig, state: SystemState,
                   cfg.dtype)
     saver.save_all(state, cfg)
 
+    if opts.print_info:
+        # pre-loop engine banner (octree prints "Tree init complete" after
+        # allocating the tree, octree.h:287; our functional rebuild has no
+        # alloc step, so it marks the same point: before the first step)
+        pre = getattr(engine, "pre_info", "")
+        if pre:
+            print(pre, file=out, end="")
+
     reported_steps = opts.steps
     phase_totals: dict[str, float] = {}
 

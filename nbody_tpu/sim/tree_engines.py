@@ -192,6 +192,7 @@ class OctreeEngine:
     name = "octree"
     csv_phases = ("clear", "bbox", "insert", "multipoles", "force approx")
     header_in_detailed = True
+    pre_info = "Tree init complete\n"   # octree.h:287, once before the loop
 
     def make_step(self, cfg: SimConfig, opts: EngineOptions):
         from nbody_tpu.ops.octree import max_depth, octree_step_force

@@ -142,6 +142,7 @@ def test_octree_print_info():
     main(["-n", "16", "-s", "1", "--algorithm", "octree", "--csv-detailed",
           "--print-info"], out=out)
     text = out.getvalue()
+    assert "Tree init complete\n" in text   # octree.h:287, pre-loop banner
     assert "Tree size: " in text
     assert "Total mass: " in text
 

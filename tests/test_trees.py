@@ -582,3 +582,40 @@ def test_octree_descend_no_less_accurate(dim, f32_eps):
     if dim == 2:      # 3-D at this tiny size tips some tiles into the
         assert int(info["fallback_tiles"]) == 0   # (exact) fallback
     assert e_desc <= e_list * 1.01 + 1e-12, (e_desc, e_list)
+
+
+def test_fast_path_traces_leak_no_tracers(f32_eps):
+    """Round-3 regression (the full-suite-only red-test bug): the bvh
+    fast path lazily imports octree_group INSIDE a traced function, so
+    any module-level jnp constant there is created under the active
+    DynamicJaxprTrace and leaks as a tracer -- every later trace then
+    captures it as a lifted const arg, which the C++ pjit fastpath
+    drops at dispatch ("Executable expected parameter 0 of size 4 but
+    got buffer with incompatible size ...").  Pin: tracing either
+    engine's fast force under jax_check_tracer_leaks raises nothing."""
+    import sys
+    import jax
+
+    from nbody_tpu.ops.bvh import bvh_step_force
+    from nbody_tpu.ops.octree import max_depth, octree_step_force
+
+    # force re-import during the trace, as a fresh process would
+    for mod in ("nbody_tpu.ops.octree_group", "nbody_tpu.ops.tree_descend",
+                "nbody_tpu.ops.pallas_group_eval"):
+        sys.modules.pop(mod, None)
+
+    n, dim = 512, 2
+    rng = np.random.default_rng(5)
+    x = jnp.asarray(rng.normal(0.0, 1.0, (n, dim)).astype(np.float32))
+    m = jnp.asarray(rng.uniform(0.1, 1.0, n).astype(np.float32))
+    st = SystemState(m=m, x=x, v=jnp.zeros_like(x), a=jnp.zeros_like(x),
+                     ao=jnp.zeros_like(x))
+    with jax.check_tracer_leaks():
+        jax.make_jaxpr(
+            lambda s: bvh_step_force(s, 0.5, 1.0, f32_eps, use_pallas="interpret")
+        )(st)
+        jax.make_jaxpr(
+            lambda s: octree_step_force(s, 0.5, 1.0, f32_eps,
+                                        max_depth(n, dim),
+                                        use_pallas="interpret")
+        )(st)
