@@ -619,3 +619,35 @@ def test_fast_path_traces_leak_no_tracers(f32_eps):
                                         max_depth(n, dim),
                                         use_pallas="interpret")
         )(st)
+
+
+def test_octree_farcompact_matches_dense_far(f32_eps):
+    """ablate="farcompact" (supertile-compacted far field) must produce
+    the SAME forces as the default dense masked far eval -- it evaluates
+    the identical accepted-node set, only compacted per supertile.
+    Round-3 regression: the old substring ablate test made 'farcompact'
+    match 'far' first and silently ZEROED the far field."""
+    import jax.numpy as jnp
+    from nbody_tpu.ops.geometry import scalar_bounds
+    from nbody_tpu.ops.octree import max_depth, morton_sort, robust_quant_box
+    from nbody_tpu.ops.octree_group import compute_force_grouped_fast
+
+    n, dim = 4096, 3
+    rng = np.random.default_rng(7)
+    x = jnp.asarray(np.concatenate([
+        rng.normal(0, 1, (n // 2, dim)),
+        rng.normal(3, 1, (n - n // 2, dim))]).astype(np.float32))
+    m = jnp.asarray(rng.uniform(0.1, 1, n).astype(np.float32))
+    depth = max_depth(n, dim)
+    lo, hi = scalar_bounds(x)
+    lo_r, hi_r = robust_quant_box(x, lo, hi)
+    ms, xs, ks, _ = morton_sort(m, x, lo_r, hi_r, depth)
+    a0, _ = compute_force_grouped_fast(ms, xs, ks, lo_r, hi_r, depth,
+                                       0.5, 1.0, f32_eps, interpret=True)
+    a1, _ = compute_force_grouped_fast(ms, xs, ks, lo_r, hi_r, depth,
+                                       0.5, 1.0, f32_eps, interpret=True,
+                                       ablate="farcompact")
+    # the far field must be PRESENT (ablate="far" would zero it): forces
+    # dominated by the far field at theta=0.5 are nonzero and equal
+    assert float(jnp.max(jnp.abs(a0))) > 0
+    assert float(jnp.max(jnp.abs(a0 - a1))) == 0.0
