@@ -1,5 +1,11 @@
 """Supertile sparse descent below L* for the TPU tree fast paths.
 
+PARKED (round 3): measured 5.8 s/step vs 1.6 s for the production exact
+near field at n=1M 3-D galaxy theta=0.5 (BASELINE.md negative-results
+table) -- the emission matrices and 11-field gathers cost more than the
+monopole-ized mass saves.  Opt-in via compute_force_grouped_fast's
+descend_levels; not reachable from the CLI or engine defaults.
+
 Both gather-free fast paths (ops/bvh_group.py windowed, ops/octree_group.py
 fast) stop their dense mask traversal at a cutoff level L* and evaluate
 every still-open node's bodies EXACTLY.  Measured at n=1M 3-D galaxy

@@ -833,7 +833,7 @@ def compute_force_grouped_fast(
     # A supertile whose union overflows far_cap sends its member tiles
     # to the exact fallback (truncation structurally impossible).
     if "farcompact" in ablate.split(","):
-        from nbody_tpu.ops.tree_descend import BIG32, _compact
+        from nbody_tpu.experimental.tree_descend import BIG32, _compact
 
         far_G = 8
         far_cap = min(W_heap, 8192)
@@ -1010,7 +1010,7 @@ def compute_force_grouped_fast(
         # near field is MASS-bound, and the reference's per-body walk
         # (octree.h:236-247) would evaluate most of that mass as DEEPER
         # monopoles.  Descend the open set r_levels below L* sparsely
-        # (ops/tree_descend.py): supertiles of descend_G tiles share one
+        # (experimental/tree_descend.py): supertiles of descend_G tiles share one
         # compacted list, per-member-tile MAC over true child extents,
         # accepted children stream as shared monopole lists, and only
         # the final survivors become exact [lo, hi) entries.
@@ -1018,7 +1018,7 @@ def compute_force_grouped_fast(
             entries_lohi_eval_pallas,
             group_shared_masked_eval_pallas,
         )
-        from nbody_tpu.ops.tree_descend import supertile_descend
+        from nbody_tpu.experimental.tree_descend import supertile_descend
 
         Gd = descend_G
         k0_cap, k_cap, m_cap = descend_caps

@@ -1,11 +1,11 @@
-"""Unit tests for ops/tree_descend.supertile_descend against a per-tile
+"""Unit tests for experimental/tree_descend.supertile_descend against a per-tile
 brute-force reference of the same accept/open semantics."""
 
 import numpy as np
 import jax.numpy as jnp
 import pytest
 
-from nbody_tpu.ops.tree_descend import supertile_descend
+from nbody_tpu.experimental.tree_descend import supertile_descend
 
 
 def _hash01(*args):

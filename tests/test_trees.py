@@ -600,7 +600,7 @@ def test_fast_path_traces_leak_no_tracers(f32_eps):
     from nbody_tpu.ops.octree import max_depth, octree_step_force
 
     # force re-import during the trace, as a fresh process would
-    for mod in ("nbody_tpu.ops.octree_group", "nbody_tpu.ops.tree_descend",
+    for mod in ("nbody_tpu.ops.octree_group", "nbody_tpu.experimental.tree_descend",
                 "nbody_tpu.ops.pallas_group_eval"):
         sys.modules.pop(mod, None)
 
