@@ -479,7 +479,10 @@ def compute_force_grouped_windowed(
     list path).
     """
     from nbody_tpu.ops.pallas_group_eval import (
+        masked_eval_bits_pallas,
         masked_eval_pallas,
+        pack_mask_bits,
+        window_eval_nodemask_pallas,
         window_eval_pallas,
     )
 
@@ -601,15 +604,24 @@ def compute_force_grouped_windowed(
     in_win = jnp.take_along_axis(
         open_mask, jnp.minimum(col, nodes_total - 1), axis=1
     )                                                       # (T, wnodes)
-    body_mask = jnp.broadcast_to(
-        in_win.astype(dtype)[:, :, None], (ntiles, wnodes, S)
-    ).reshape(ntiles, wt * tile)
     if "win" in ablate.split(","):      # ablation probes only (wrong forces!)
         near = jnp.zeros((npad, dim), dtype)
-    else:
+    elif "densemask" in ablate.split(",") or wjf * npt > 64:
+        # A/B fallback: round-2 dense body mask (the S-fold broadcast of
+        # in_win -- ~130 MB/step at n=1M)
+        body_mask = jnp.broadcast_to(
+            in_win.astype(dtype)[:, :, None], (ntiles, wnodes, S)
+        ).reshape(ntiles, wt * tile)
         near = window_eval_pallas(
             xp.reshape(npad, dim), mp_g, xp_g.T, body_mask, w0, float(eps),
             window_tiles=wt, interpret=interpret, wj=wjf,
+        )
+    else:
+        # per-NODE openness streams as tiny (1, wj*npt) blocks and the
+        # S-fold body expansion happens in-kernel
+        near = window_eval_nodemask_pallas(
+            xp.reshape(npad, dim), mp_g, xp_g.T, in_win, w0, float(eps),
+            window_tiles=wt, S=S, interpret=interpret, wj=wjf,
         )
 
     # ---- residual: open nodes OUTSIDE the window -----------------------
@@ -690,12 +702,21 @@ def compute_force_grouped_windowed(
     # 0..L*+ref_lv (the refinement + subtile-monopole masks extend the
     # same prefix)
     W = (1 << (level_star + ref_lv + 1)) - 1
-    far_mask = jnp.concatenate(accept_masks, axis=1).astype(dtype)  # (T, W)
+    far_bool = jnp.concatenate(accept_masks, axis=1)                # (T, W)
     if "far" in ablate.split(","):      # ablation probes only (wrong forces!)
         far = jnp.zeros((npad, dim), dtype)
-    else:
+    elif "densemask" in ablate.split(","):   # A/B: round-2 dense f32 mask
         far = masked_eval_pallas(
-            xp.reshape(npad, dim), mm[:W], mx[:W].T, far_mask, float(eps),
+            xp.reshape(npad, dim), mm[:W], mx[:W].T,
+            far_bool.astype(dtype), float(eps),
+            interpret=interpret,
+        )
+    else:
+        # bit-packed accept mask (32x less HBM stream than the dense f32
+        # mask -- see masked_eval_bits_pallas)
+        far = masked_eval_bits_pallas(
+            xp.reshape(npad, dim), mm[:W], mx[:W].T,
+            pack_mask_bits(far_bool, 1024), float(eps),
             interpret=interpret,
         )
 

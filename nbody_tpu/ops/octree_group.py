@@ -557,6 +557,7 @@ def compute_force_grouped_fast(
     from nbody_tpu.ops.pallas_group_eval import (
         entries_lohi_eval_pallas,
         group_shared_masked_eval_pallas,
+        window_eval_interval_pallas,
         window_eval_pallas,
     )
     from nbody_tpu.ops.pallas_allpairs import allpairs_block_pallas
@@ -874,7 +875,7 @@ def compute_force_grouped_fast(
             fmask, float(eps), far_G,
             interpret=interpret, softening="sqrt3",
         )
-    else:
+    elif "densemask" in ablate.split(","):   # A/B: round-2 dense f32 mask
         from nbody_tpu.ops.pallas_group_eval import masked_eval_pallas
 
         far = masked_eval_pallas(
@@ -882,19 +883,41 @@ def compute_force_grouped_fast(
             acc_bool.astype(dtype), float(eps),
             interpret=interpret, softening="sqrt3",
         )
+    else:
+        # bit-packed accept mask: the dense (T, W) f32 mask was ~300 MB
+        # written + read per step at n=1M 3-D -- the step's largest HBM
+        # stream; packed words are 32x smaller and the pack fuses into
+        # the traversal's elementwise chain (pallas_group_eval)
+        from nbody_tpu.ops.pallas_group_eval import (
+            masked_eval_bits_pallas, pack_mask_bits)
+
+        far = masked_eval_bits_pallas(
+            xp.reshape(npad, dim), mm_heap, com_heap.T,
+            pack_mask_bits(acc_bool, 1024), float(eps),
+            interpret=interpret, softening="sqrt3",
+        )
 
     # ---- window evaluation (exact bodies in [lo_t, hi_t)) -------------
-    cols_body = w0_body[:, None] + jnp.arange(wt * tile,
-                                              dtype=jnp.int32)[None, :]
-    bmask = ((cols_body >= lo_t[:, None]) &
-             (cols_body < hi_t[:, None])).astype(dtype)
     if "win" in ablate.split(","):      # ablation probes only (wrong forces!)
         win = jnp.zeros((npad, dim), dtype)
-    else:
+    elif "densemask" in ablate.split(","):   # A/B: round-2 dense body mask
+        cols_body = w0_body[:, None] + jnp.arange(wt * tile,
+                                                  dtype=jnp.int32)[None, :]
+        bmask = ((cols_body >= lo_t[:, None]) &
+                 (cols_body < hi_t[:, None])).astype(dtype)
         win = window_eval_pallas(
             xp.reshape(npad, dim), mp_g, xp_g.T, bmask, w0, float(eps),
             window_tiles=wt, interpret=interpret, softening="sqrt3",
             wj=wjf,
+        )
+    else:
+        # the [lo_t, hi_t) interval IS the mask: three scalars per tile
+        # ride the prefetch operand instead of a (T, wt*tile) f32 body
+        # mask (~130 MB/step at n=1M)
+        win = window_eval_interval_pallas(
+            xp.reshape(npad, dim), mp_g, xp_g.T, w0, lo_t, hi_t,
+            float(eps), window_tiles=wt, interpret=interpret,
+            softening="sqrt3", wj=wjf,
         )
     far = far + win
 

@@ -118,6 +118,58 @@ def group_eval_pallas(
     return out
 
 
+def _pair_weight(dim, eps, softening, xi, xjt_row):
+    """Common per-pair chain: dx list, softened Newton-refined r^-3."""
+    eps_v = jnp.asarray(eps, xi.dtype)
+    dx = []
+    d2 = None
+    for d in range(dim):
+        xd = xjt_row[d, :][None, :] - xi[:, d][:, None]
+        dx.append(xd)
+        d2 = xd * xd if d2 is None else d2 + xd * xd
+    if softening == "poly":
+        t = d2 * jnp.sqrt(d2) + eps_v
+    else:
+        s = jnp.sqrt(d2) + eps_v
+        t = s * s * s
+    r = pl.reciprocal(t, approx=True)
+    r = r * (jnp.asarray(2.0, xi.dtype) - t * r)
+    return dx, r
+
+
+def _unpack_bits(words, dtype):
+    """(1, K) int32 words -> (1, K*32) 0/1 dtype vector in STRIDED order:
+    lane l takes bit (l // K) of word (l % K).  Callers pack with
+    pack_mask_bits (same stride) so lane l lines up with node l of the
+    j-block.  Built on pltpu.repeat's TILE semantics ([w0..wK w0..wK ...])
+    plus a per-lane variable shift -- no lane gathers, no relayouts."""
+    K = words.shape[1]
+    rep = pltpu.repeat(words, 32, axis=1)            # lane l = word (l % K)
+    lane = jax.lax.broadcasted_iota(jnp.int32, (1, K * 32), 1)
+    bit = jax.lax.shift_right_logical(rep, lane // K) & 1
+    return bit.astype(dtype)
+
+
+def pack_mask_bits(mask: jnp.ndarray, tile_j: int) -> jnp.ndarray:
+    """Bit-pack a (T, W) boolean accept mask into (T, Wp // 32) int32 words
+    in the strided per-block order _unpack_bits expects: within each
+    tile_j-wide j-block, node l -> word (l % K), bit (l // K), K = tile_j
+    // 32.  The dense f32 mask was the far field's HBM bound (~300 MB
+    written + read per step at n=1M 3-D); packed words are 32x smaller and
+    the pack fuses into the traversal's elementwise chain."""
+    T, W = mask.shape
+    Wp = _round_up(W, tile_j)
+    K = tile_j // 32
+    if Wp != W:
+        mask = jnp.pad(mask, ((0, 0), (0, Wp - W)))
+    m = mask.reshape(T, Wp // tile_j, 32, K).astype(jnp.int32)
+    shifts = jnp.arange(32, dtype=jnp.int32)[None, None, :, None]
+    # sum == bitwise OR here: each term holds one distinct bit, so no
+    # carries (bit 31's min-int term included, two's complement)
+    words = (m << shifts).sum(axis=2, dtype=jnp.int32)
+    return words.reshape(T, Wp // 32)
+
+
 def _masked_eval_kernel(dim, eps, softening, xi_ref, xjt_ref, mj_ref,
                         mask_ref, out_ref):
     """Shared j-arrays + per-tile mask: w = mask * m / soften(d2)."""
@@ -204,6 +256,79 @@ def masked_eval_pallas(
     return out
 
 
+def _masked_bits_kernel(dim, eps, softening, xi_ref, xjt_ref, mj_ref,
+                        words_ref, out_ref):
+    """masked_eval with a bit-packed mask: words (1, 1, TJ//32) int32."""
+    c = pl.program_id(1)
+
+    @pl.when(c == 0)
+    def _():
+        out_ref[:, :] = jnp.zeros_like(out_ref)
+
+    xi = xi_ref[:, :]
+    mask = _unpack_bits(words_ref[0, :, :], xi.dtype)       # (1, TJ)
+    dx, r = _pair_weight(dim, eps, softening, xi, xjt_ref)
+    w = (mask[0, :] * mj_ref[0, :])[None, :] * r
+    for d in range(dim):
+        out_ref[:, d] += jnp.sum(w * dx[d], axis=1)
+
+
+@functools.partial(
+    jax.jit, static_argnames=("eps", "tile_j", "interpret", "softening")
+)
+def masked_eval_bits_pallas(
+    xi: jnp.ndarray,
+    mj: jnp.ndarray,
+    xjt: jnp.ndarray,
+    words: jnp.ndarray,
+    eps: float,
+    tile_j: int = 1024,
+    interpret: bool = False,
+    softening: str = "poly",
+) -> jnp.ndarray:
+    """Far-field evaluation with a BIT-PACKED accept mask.
+
+    Identical math to masked_eval_pallas, but the per-tile mask arrives as
+    int32 words (ntiles, Wp // 32) packed by pack_mask_bits(mask, tile_j)
+    -- 32x less HBM traffic than the dense f32 mask, which at n=1M 3-D
+    (ntiles ~2k, W ~37k) was ~300 MB written by the traversal and read
+    back by this kernel, the single largest HBM stream of the tree step.
+    The unpack is ~4 vector ops per j-lane, amortized over TB rows."""
+    dim, W = xjt.shape
+    ntiles = words.shape[0]
+    tb = xi.shape[0] // ntiles
+    dtype = xi.dtype
+    Wp = _round_up(W, tile_j)
+    if Wp != W:
+        mj = jnp.pad(mj, (0, Wp - W))
+        xjt = jnp.pad(xjt, ((0, 0), (0, Wp - W)))
+    if words.shape[1] != Wp // 32:
+        raise ValueError("words must be pack_mask_bits(mask, tile_j)")
+
+    kernel = functools.partial(_masked_bits_kernel, dim, float(eps),
+                               softening)
+    out = pl.pallas_call(
+        kernel,
+        grid=(ntiles, Wp // tile_j),
+        in_specs=[
+            pl.BlockSpec((tb, dim), lambda t, c: (t, 0)),
+            pl.BlockSpec((dim, tile_j), lambda t, c: (0, c)),
+            pl.BlockSpec((1, tile_j), lambda t, c: (0, c)),
+            pl.BlockSpec((1, 1, tile_j // 32), lambda t, c: (t, 0, c)),
+        ],
+        out_specs=pl.BlockSpec((tb, dim), lambda t, c: (t, 0)),
+        out_shape=jax.ShapeDtypeStruct((ntiles * tb, dim), dtype),
+        cost_estimate=pl.CostEstimate(
+            flops=int(13 * ntiles * tb) * int(Wp),
+            bytes_accessed=int(ntiles * (tb * dim * 4 + Wp // 8)
+                               + Wp * (dim + 1) * 4),
+            transcendentals=int(ntiles * tb) * int(Wp),
+        ),
+        interpret=interpret,
+    )(xi, xjt, mj.reshape(1, Wp), words[:, None, :])
+    return out
+
+
 @functools.partial(
     jax.jit,
     static_argnames=("eps", "window_tiles", "interpret", "softening", "wj"),
@@ -277,6 +402,190 @@ def window_eval_pallas(
         ),
         interpret=interpret,
     )(w0.astype(jnp.int32), xi, xjt, mj.reshape(1, -1), mask[:, None, :])
+    return out
+
+
+def _window_interval_kernel(dim, eps, softening, tb, jb, wj,
+                            scalars_ref, xi_ref, xjt_ref, mj_ref, out_ref):
+    """Window eval whose mask is the INTERVAL [lo, hi) of global body
+    columns, computed in-kernel from prefetched scalars -- replaces the
+    dense (T, window_tiles*TB) f32 body mask (~130 MB/step at n=1M)."""
+    t = pl.program_id(0)
+    c = pl.program_id(1)
+
+    @pl.when(c == 0)
+    def _():
+        out_ref[:, :] = jnp.zeros_like(out_ref)
+
+    xi = xi_ref[:, :]
+    w0 = scalars_ref[t, 0]
+    lo = scalars_ref[t, 1]
+    hi = scalars_ref[t, 2]
+    col0 = (w0 // wj + c) * jb
+    lane = jax.lax.broadcasted_iota(jnp.int32, (1, jb), 1) + col0
+    sel = ((lane >= lo) & (lane < hi)).astype(xi.dtype)
+    dx, r = _pair_weight(dim, eps, softening, xi, xjt_ref)
+    w = (sel[0, :] * mj_ref[0, :])[None, :] * r
+    for d in range(dim):
+        out_ref[:, d] += jnp.sum(w * dx[d], axis=1)
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("eps", "window_tiles", "interpret", "softening", "wj"),
+)
+def window_eval_interval_pallas(
+    xi: jnp.ndarray,
+    mj: jnp.ndarray,
+    xjt: jnp.ndarray,
+    w0: jnp.ndarray,
+    lo: jnp.ndarray,
+    hi: jnp.ndarray,
+    eps: float,
+    window_tiles: int,
+    interpret: bool = False,
+    softening: str = "poly",
+    wj: int = 1,
+) -> jnp.ndarray:
+    """window_eval_pallas for callers whose body mask is a contiguous
+    interval [lo[t], hi[t]) of global body columns (the octree's
+    cell-snapped window): the mask never materializes -- three int32
+    scalars per tile ride the scalar-prefetch operand and the selection
+    is an in-kernel iota compare.  w0 in tile units (wj-aligned), lo/hi
+    in body units."""
+    ntiles = w0.shape[0]
+    dim = xi.shape[1]
+    tb = xi.shape[0] // ntiles
+    dtype = xi.dtype
+    if window_tiles % wj:
+        raise ValueError("wj must divide window_tiles")
+    jb = wj * tb
+    scalars = jnp.stack(
+        [w0.astype(jnp.int32), lo.astype(jnp.int32), hi.astype(jnp.int32)],
+        axis=1)                                            # (T, 3)
+
+    kernel = functools.partial(_window_interval_kernel, dim, float(eps),
+                               softening, tb, jb, wj)
+
+    def jmap(t, c, s_ref):
+        return (0, s_ref[t, 0] // wj + c)
+
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=1,
+        grid=(ntiles, window_tiles // wj),
+        in_specs=[
+            pl.BlockSpec((tb, dim), lambda t, c, s_ref: (t, 0)),
+            pl.BlockSpec((dim, jb), jmap),
+            pl.BlockSpec((1, jb), jmap),
+        ],
+        out_specs=pl.BlockSpec((tb, dim), lambda t, c, s_ref: (t, 0)),
+    )
+    out = pl.pallas_call(
+        kernel,
+        grid_spec=grid_spec,
+        out_shape=jax.ShapeDtypeStruct((ntiles * tb, dim), dtype),
+        cost_estimate=pl.CostEstimate(
+            flops=int(13 * ntiles * tb) * int(window_tiles * tb),
+            bytes_accessed=int(ntiles * (tb + window_tiles * tb) * dim * 4),
+            transcendentals=int(ntiles * tb) * int(window_tiles * tb),
+        ),
+        interpret=interpret,
+    )(scalars, xi, xjt, mj.reshape(1, -1))
+    return out
+
+
+def _window_nodemask_kernel(dim, eps, softening, tb, jb, wj, nv, S,
+                            w0_ref, xi_ref, xjt_ref, mj_ref, win_ref,
+                            out_ref):
+    """Window eval whose mask is per-NODE openness (nv = wj * tile//S
+    nodes per j-block, each covering S consecutive bodies), expanded
+    in-kernel -- replaces the (T, wnodes*S) broadcast body mask (the
+    BVH windowed path's ~130 MB/step stream)."""
+    c = pl.program_id(1)
+
+    @pl.when(c == 0)
+    def _():
+        out_ref[:, :] = jnp.zeros_like(out_ref)
+
+    xi = xi_ref[:, :]
+    lane = jax.lax.broadcasted_iota(jnp.int32, (1, jb), 1)
+    node = lane // S                                        # (1, jb) in [0, nv)
+    sel = jnp.zeros((1, jb), xi.dtype)
+    for v in range(nv):
+        sel = sel + jnp.where(node == v, win_ref[0, 0, v], 0.0)
+    dx, r = _pair_weight(dim, eps, softening, xi, xjt_ref)
+    w = (sel[0, :] * mj_ref[0, :])[None, :] * r
+    for d in range(dim):
+        out_ref[:, d] += jnp.sum(w * dx[d], axis=1)
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("eps", "window_tiles", "S", "interpret", "softening",
+                     "wj"),
+)
+def window_eval_nodemask_pallas(
+    xi: jnp.ndarray,
+    mj: jnp.ndarray,
+    xjt: jnp.ndarray,
+    in_win: jnp.ndarray,
+    w0: jnp.ndarray,
+    eps: float,
+    window_tiles: int,
+    S: int,
+    interpret: bool = False,
+    softening: str = "poly",
+    wj: int = 1,
+) -> jnp.ndarray:
+    """window_eval_pallas for callers whose body mask is per-NODE openness
+    broadcast over S consecutive bodies (the BVH windowed near field):
+    in_win (ntiles, window_tiles * tile // S) 0/1 streams as tiny blocks
+    and the S-fold body expansion happens in-kernel (unrolled scalar
+    selects over nv = wj * tile // S node slots per block)."""
+    ntiles, wnodes = in_win.shape
+    dim = xi.shape[1]
+    tb = xi.shape[0] // ntiles
+    dtype = xi.dtype
+    if window_tiles % wj:
+        raise ValueError("wj must divide window_tiles")
+    jb = wj * tb
+    npt = wnodes // window_tiles                            # nodes per tile
+    nv = wj * npt
+    if nv * S != jb:
+        raise ValueError("in_win width inconsistent with S / window_tiles")
+    if nv > 64:
+        raise ValueError("nodemask window supports at most 64 nodes per "
+                         "j-block (unrolled selects); use the dense mask")
+
+    kernel = functools.partial(_window_nodemask_kernel, dim, float(eps),
+                               softening, tb, jb, wj, nv, S)
+
+    def jmap(t, c, w0_ref):
+        return (0, w0_ref[t] // wj + c)
+
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=1,
+        grid=(ntiles, window_tiles // wj),
+        in_specs=[
+            pl.BlockSpec((tb, dim), lambda t, c, w0_ref: (t, 0)),
+            pl.BlockSpec((dim, jb), jmap),
+            pl.BlockSpec((1, jb), jmap),
+            pl.BlockSpec((1, 1, nv), lambda t, c, w0_ref: (t, 0, c)),
+        ],
+        out_specs=pl.BlockSpec((tb, dim), lambda t, c, w0_ref: (t, 0)),
+    )
+    out = pl.pallas_call(
+        kernel,
+        grid_spec=grid_spec,
+        out_shape=jax.ShapeDtypeStruct((ntiles * tb, dim), dtype),
+        cost_estimate=pl.CostEstimate(
+            flops=int(13 * ntiles * tb) * int(wnodes * S),
+            bytes_accessed=int(ntiles * (tb + wnodes * S) * dim * 4),
+            transcendentals=int(ntiles * tb) * int(wnodes * S),
+        ),
+        interpret=interpret,
+    )(w0.astype(jnp.int32), xi, xjt, mj.reshape(1, -1),
+      in_win.astype(dtype)[:, None, :])
     return out
 
 

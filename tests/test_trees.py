@@ -651,3 +651,48 @@ def test_octree_farcompact_matches_dense_far(f32_eps):
     # dominated by the far field at theta=0.5 are nonzero and equal
     assert float(jnp.max(jnp.abs(a0))) > 0
     assert float(jnp.max(jnp.abs(a0 - a1))) == 0.0
+
+
+@pytest.mark.parametrize("algo", ["octree", "bvh"])
+def test_packed_masks_match_dense(algo, f32_eps):
+    """The round-3 bandwidth levers -- bit-packed far-field accept mask,
+    in-kernel interval window mask (octree), in-kernel node-mask window
+    expansion (bvh) -- must be BIT-identical to the dense f32 masks they
+    replace (same math, the mask multiply lands in the same spot);
+    ablate="densemask" keeps the round-2 dense paths for this A/B."""
+    from nbody_tpu.ops.geometry import scalar_bounds
+    from nbody_tpu.ops.octree import max_depth as odepth, morton_sort, \
+        robust_quant_box
+    from nbody_tpu.ops.octree_group import compute_force_grouped_fast
+    from nbody_tpu.ops.bvh_group import compute_force_grouped_windowed
+
+    n, dim = 4096, 3
+    rng = np.random.default_rng(11)
+    x = jnp.asarray(np.concatenate([
+        rng.normal(0, 1, (n // 2, dim)),
+        rng.normal(3, 1, (n - n // 2, dim))]).astype(np.float32))
+    m = jnp.asarray(rng.uniform(0.1, 1, n).astype(np.float32))
+    if algo == "octree":
+        depth = odepth(n, dim)
+        lo, hi = scalar_bounds(x)
+        lo_r, hi_r = robust_quant_box(x, lo, hi)
+        ms, xs, ks, _ = morton_sort(m, x, lo_r, hi_r, depth)
+        a0, _ = compute_force_grouped_fast(ms, xs, ks, lo_r, hi_r, depth,
+                                           0.5, 1.0, f32_eps,
+                                           interpret=True)
+        a1, _ = compute_force_grouped_fast(ms, xs, ks, lo_r, hi_r, depth,
+                                           0.5, 1.0, f32_eps,
+                                           interpret=True,
+                                           ablate="densemask")
+    else:
+        xmin, xmax = aabb_of_points(x, f32_eps)
+        perm = hilbert_sort_perm(x, xmin, xmax)
+        ms, xs = m[perm], x[perm]
+        tree = build_tree(ms, xs, f32_eps)
+        a0, _ = compute_force_grouped_windowed(tree, ms, xs, 0.5, 1.0,
+                                               f32_eps, interpret=True)
+        a1, _ = compute_force_grouped_windowed(tree, ms, xs, 0.5, 1.0,
+                                               f32_eps, interpret=True,
+                                               ablate="densemask")
+    assert float(jnp.max(jnp.abs(a0))) > 0
+    assert float(jnp.max(jnp.abs(a0 - a1))) == 0.0
