@@ -30,10 +30,11 @@ REPEATS = 4
 TARGET = 1e12  # north-star interactions/sec/chip
 
 # v5e VPU arithmetic peak for roofline context: 8x128 lanes x 4 ALUs at
-# ~1.74 GHz (public v5e spec: 197 bf16 MXU TFLOP/s; VPU fp32 is
-# lanes*issue*clock). The per-pair chain is ~12 VPU slot-ops (see
-# ops/pallas_allpairs.py), so slot throughput = rate * 12.
-VPU_PEAK_OPS = 8 * 128 * 4 * 1.74e9
+# ~1.5 GHz (clock derived from the public v5e spec: 197 bf16 TFLOP/s =
+# 2 * 4 MXUs * 128^2 * f => f ~ 1.5 GHz; same number BASELINE.md uses).
+# The per-pair chain is ~12/15 VPU slot-ops (see ops/pallas_allpairs.py),
+# so slot throughput = rate * slots.
+VPU_PEAK_OPS = 8 * 128 * 4 * 1.5e9
 SLOTS_PER_PAIR = {2: 12, 3: 15}
 
 

@@ -812,6 +812,10 @@ def compute_force_grouped_windowed(
         n_entries=n_merged,
     )
     info["res_pairs"] = diag_pairs
+    # eval-lane utilization: each entry's math runs over the full S-wide
+    # block; sum(hi - lo) / (entries * S) is the useful fraction (drives
+    # the residual block-width choice)
+    info["res_width_sum"] = jnp.sum((lohis >> 16) - (lohis & 0xFFFF))
     for k, v in enumerate(diag_pass_hist):
         info[f"res_pass_{k}"] = v
     return a, info

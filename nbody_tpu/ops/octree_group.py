@@ -1011,6 +1011,9 @@ def compute_force_grouped_fast(
             entries, lohis, end_rank[-1], pad_entry, ntiles=ntiles, epg=epg)
         if tend is not None:
             tile_over = tile_over | (tend > E_cap)
+        # eval-lane utilization: entry math runs over the full S-wide
+        # block; sum(hi - lo) / (entries * S) is the useful fraction
+        near_width_sum = jnp.sum((lohis >> 16) - (lohis & 0xFFFF))
 
         if "near" in ablate.split(","):     # ablation probes only (wrong forces!)
             near = jnp.zeros((npad, dim), dtype)
@@ -1190,6 +1193,7 @@ def compute_force_grouped_fast(
                 softening="sqrt3", n_real=n_real2,
                 skip_empty="noskip" not in ablate.split(","), epg=epg)
         n_entries_info = n_real2
+        near_width_sum = jnp.sum((lohis >> 16) - (lohis & 0xFFFF))
         desc_diag = dict(res.diag)
         desc_diag["entries_raw"] = n_raw
         fcnt = jnp.where(res.final_valid, cnt_d_arr[fidc], 0)
@@ -1244,6 +1248,7 @@ def compute_force_grouped_fast(
         "entries": n_entries_info,
         "open_cells": jnp.sum(open_mask, dtype=jnp.int32),
         "open_mass": open_mass,
+        "near_width_sum": near_width_sum,
         "node_overflow": jnp.zeros((), jnp.int32),
         "leaf_overflow": jnp.zeros((), jnp.int32),
     }

@@ -1,0 +1,54 @@
+#!/usr/bin/env python
+"""Summarize probe_r4_breakdown JSONL outputs into a per-phase table.
+
+Phase cost = step("none") - step(ablate-that-removes-the-phase); ablates
+that keep a build but skip an eval (nlist/rlist) isolate build vs eval.
+Usage: summarize_breakdown.py /tmp/bd_oct3.json [...]
+"""
+
+import json
+import sys
+
+
+def load(path):
+    best = {}
+    with open(path) as fh:
+        for line in fh:
+            try:
+                rec = json.loads(line)
+            except ValueError:
+                continue
+            if "sec" not in rec:
+                print(f"  (error case: {rec.get('ablate')}: "
+                      f"{rec.get('error', '?')[:120]})")
+                continue
+            key = rec["ablate"]
+            best[key] = min(best.get(key, 1e9), rec["sec"])
+    return best
+
+
+def main():
+    for path in sys.argv[1:]:
+        print(f"== {path}")
+        b = load(path)
+        if "none" not in b:
+            print("  no baseline 'none' case");  continue
+        base = b["none"]
+        print(f"  total step            {base*1e3:8.1f} ms")
+        for ab, sec in sorted(b.items()):
+            if ab == "none":
+                continue
+            print(f"  -{ab:<12} -> {sec*1e3:8.1f} ms   "
+                  f"phase ~{(base-sec)*1e3:+7.1f} ms")
+        # derived: t(nlist) keeps the list build but skips the eval, so
+        # eval = t(none) - t(nlist); t(near) drops the whole chain, so
+        # build = t(nlist) - t(near)
+        for evalab, listab, name in (("near", "nlist", "near"),
+                                     ("resid", "rlist", "resid")):
+            if evalab in b and listab in b:
+                print(f"  [{name}: eval ~{(base - b[listab])*1e3:.1f} ms, "
+                      f"list-build ~{(b[listab] - b[evalab])*1e3:.1f} ms]")
+
+
+if __name__ == "__main__":
+    main()
