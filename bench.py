@@ -144,39 +144,102 @@ def measure_tree(algorithm: str, evolve_steps: int = 0, dim: int = 2) -> float:
                                  repeats=2)
 
 
-def _measure_safe(errors: dict, name: str, fn, *args, **kwargs):
+# metric registry: name -> (callable, kwargs, subprocess timeout seconds).
+# Timeouts are generous (first compile through the axon tunnel is
+# 20-200 s; evolved metrics pre-roll 50 steps) but HARD: a dead tunnel
+# worker turns a call into an infinite nanosleep poll (observed round 3:
+# bench hung 80+ min with 1 s of CPU), which no in-process try/except
+# can catch -- hence one subprocess per metric.
+METRICS = {
+    "allpairs_3d": (lambda: measure_dim(3), 1200),
+    "allpairs_3d_fast": (lambda: measure_dim(3, fast=True), 1200),
+    "allpairs_2d": (lambda: measure_dim(2), 1200),
+    "bvh_2d": (lambda: measure_tree("bvh", dim=2), 1200),
+    "bvh_3d": (lambda: measure_tree("bvh", dim=3), 1500),
+    "bvh_2d_evolved": (lambda: measure_tree("bvh", evolve_steps=50, dim=2),
+                       1800),
+    "bvh_3d_evolved": (lambda: measure_tree("bvh", evolve_steps=50, dim=3),
+                       1800),
+    "octree_2d": (lambda: measure_tree("octree", dim=2), 1200),
+    "octree_3d": (lambda: measure_tree("octree", dim=3), 1500),
+    "octree_2d_evolved": (lambda: measure_tree("octree", evolve_steps=50,
+                                               dim=2), 1800),
+    "octree_3d_evolved": (lambda: measure_tree("octree", evolve_steps=50,
+                                               dim=3), 1800),
+    # plumbing self-test (no TPU work): `python bench.py --metric selftest`
+    "selftest": (lambda: {"ok": 1}, 60),
+}
+
+
+def _run_one(name: str) -> int:
+    """Child mode: run a single metric, print its JSON on the last line."""
+    fn, _ = METRICS[name]
+    print(json.dumps({"result": fn()}))
+    return 0
+
+
+BENCH_BUDGET_S = 6600  # global wall budget: never run longer than ~110 min
+_t0 = None
+
+
+def _measure_safe(errors: dict, name: str):
     """One metric must never lose the whole JSON (BENCH_r02 was rc=1
-    because one failed compile aborted main before the print).  Retries
-    once -- the axon tunnel's compile helper crashes transiently
-    (CLAUDE.md) -- then records the error string and moves on."""
+    because one failed compile aborted main before the print).  Each
+    metric runs in its own SUBPROCESS with a hard timeout (hangs from a
+    dead tunnel worker count as failures, not round-enders); transient
+    compile-helper crashes are retried once, TIMEOUTS ARE NOT (a hang
+    repeats), and a global wall budget bounds the worst case."""
+    import subprocess
+    import time
+
+    global _t0
+    if _t0 is None:
+        _t0 = time.monotonic()
+    _, tmo = METRICS[name]
     for attempt in (0, 1):
+        left = BENCH_BUDGET_S - (time.monotonic() - _t0)
+        if left < 60:
+            errors[name] = "skipped: bench wall budget exhausted"
+            return None
         try:
-            return fn(*args, **kwargs)
+            proc = subprocess.run(
+                [sys.executable, __file__, "--metric", name],
+                capture_output=True, text=True, timeout=min(tmo, left),
+            )
+            last = proc.stdout.strip().splitlines()[-1] if proc.stdout else ""
+            if proc.returncode == 0 and last.startswith("{"):
+                return json.loads(last)["result"]
+            err = (f"rc={proc.returncode}: "
+                   f"{(proc.stderr or '').strip()[-400:]}")
+        except subprocess.TimeoutExpired:
+            errors[name] = f"timeout after {tmo}s (hung tunnel worker?)"
+            return None
         except Exception as e:  # noqa: BLE001 - resilience by contract
             err = f"{type(e).__name__}: {e}"
-            if attempt == 1:
-                errors[name] = err[:500]
+        if attempt == 1:
+            errors[name] = err[:500]
     return None
 
 
 def main() -> int:
+    if len(sys.argv) >= 3 and sys.argv[1] == "--metric":
+        return _run_one(sys.argv[2])
     errors: dict = {}
-    r3 = _measure_safe(errors, "allpairs_3d", measure_dim, 3)
-    r3f = _measure_safe(errors, "allpairs_3d_fast", measure_dim, 3, fast=True)
-    r2 = _measure_safe(errors, "allpairs_2d", measure_dim, 2)
+    r3 = _measure_safe(errors, "allpairs_3d")
+    r3f = _measure_safe(errors, "allpairs_3d_fast")
+    r2 = _measure_safe(errors, "allpairs_2d")
     tree = {}
     for algo in ("bvh", "octree"):
         for dim in (2, 3):
             tree[f"{algo}_1m_{dim}d_sec_per_step"] = _measure_safe(
-                errors, f"{algo}_{dim}d", measure_tree, algo, dim=dim
+                errors, f"{algo}_{dim}d"
             )
         # evolved state (50 pre-roll steps): catches state-dependent
         # regressions the fresh number is blind to (VERDICT item 7);
         # 3-D is the reference's own benchmark dim (ci/benchmark:78-99)
         for dim in (2, 3):
             tree[f"{algo}_1m_{dim}d_evolved_sec_per_step"] = _measure_safe(
-                errors, f"{algo}_{dim}d_evolved", measure_tree, algo,
-                evolve_steps=50, dim=dim
+                errors, f"{algo}_{dim}d_evolved"
             )
     record = {
         "metric": "all-pairs fp32 pairwise interactions/sec/chip (N=2^20, 3-D)",
