@@ -728,8 +728,39 @@ def compute_force_grouped_windowed(
     R_slice = min(nodes_res, 1024)
     BIG = jnp.asarray(1 << 30, jnp.int32)
     res_ids = jnp.arange(nodes_res, dtype=jnp.int32)
-    key = jnp.where(out_open, res_ids[None, :], BIG)
-    sorted_ids = jnp.sort(key, axis=1)[:, :R_slice]          # (T, R)
+    if nodes_res % 32 or nodes_res < 32 or "widextract" in ablate.split(","):
+        # wide extraction (A/B fallback): (T, nodes_res) row sort scales
+        # with the dense node count, not the ~200 actual residuals
+        key = jnp.where(out_open, res_ids[None, :], BIG)
+        sorted_ids = jnp.sort(key, axis=1)[:, :R_slice]      # (T, R)
+    else:
+        # word-compacted extraction (same trick as octree_group): bit-fold
+        # the open mask into int32 words, compact nonzero words with a
+        # narrow sort, expand bits back to node ids, final narrow sort --
+        # BIT-identical whenever RW does not overflow (overflowing tiles
+        # hit the existing out_count > R_slice exact fallback: wcnt > RW
+        # implies out_count > RW*1 >= R_slice only when RW >= R_slice, so
+        # flag it explicitly below)
+        WKS = nodes_res // 32
+        RW = min(WKS, max(256, R_slice // 4))
+        sh32 = jnp.arange(32, dtype=jnp.int32)
+        ow = (out_open.reshape(ntiles, WKS, 32).astype(jnp.int32)
+              << sh32[None, None, :]).sum(axis=2, dtype=jnp.int32)
+        wkey = jnp.where(ow != 0,
+                         jnp.arange(WKS, dtype=jnp.int32)[None, :], BIG)
+        sw = jnp.sort(wkey, axis=1)[:, :RW]
+        wvalid = sw < BIG
+        swc = jnp.minimum(sw, WKS - 1)
+        wv = jnp.where(wvalid, jnp.take_along_axis(ow, swc, axis=1), 0)
+        wcnt = jnp.sum(ow != 0, axis=1).astype(jnp.int32)
+        nodes32 = swc[:, :, None] * 32 + sh32[None, None, :]
+        obit = ((wv[:, :, None] >> sh32[None, None, :]) & 1) > 0
+        nkey = jnp.where(obit, nodes32, BIG).reshape(ntiles, RW * 32)
+        sorted_ids = jnp.sort(nkey, axis=1)[:, :R_slice]
+        # word overflow: residuals beyond RW words are missing from
+        # sorted_ids -- force those tiles to the exact fallback
+        out_count = jnp.where(wcnt > RW,
+                              jnp.asarray(R_slice + 1, jnp.int32), out_count)
     slot = jnp.arange(R_slice, dtype=jnp.int32)[None, :]
     vmask = slot < jnp.minimum(out_count, R_slice)[:, None]
     pad_gbe = nodes_res

@@ -954,18 +954,74 @@ def compute_force_grouped_fast(
         lohi_tbl = g_lo | (g_hi << 16)
 
         # ---- per-tile entry lists -----------------------------------------
-        open_c = jnp.concatenate(
-            [open_mask, jnp.zeros((ntiles, 1), jnp.bool_)], axis=1)  # cell C dead
-        open_gbe = jnp.take(open_c, gbe_cell, axis=1)         # shared-index cols
         R_slice = min(GBE_cap + 1, 2048)
         BIGK = jnp.asarray(1 << 30, jnp.int32)
-        gkey = jnp.where(open_gbe, gi[None, :], BIGK)
-        sorted_g = jnp.sort(gkey, axis=1)[:, :R_slice]        # (T, R)
-        ent_count = jnp.sum(open_gbe, axis=1).astype(jnp.int32)
-        slot = jnp.arange(R_slice, dtype=jnp.int32)[None, :]
-        vmask = slot < jnp.minimum(ent_count, R_slice)[:, None]
         pad_gbe = GBE_cap                                     # lo==hi: no-op
         t_idx = jnp.arange(ntiles, dtype=jnp.int32)
+        extra_over = jnp.zeros((ntiles,), jnp.bool_)
+        use_wordex = (C % 32 == 0 and C >= 32
+                      and "widextract" not in ablate.split(","))
+        if not use_wordex:
+            # round-2 wide extraction (kept under ablate="widextract" for
+            # A/B): a (T, GBE) shared-index column gather + (T, GBE) row
+            # sort -- both scale with the DENSE width, not the ~100
+            # actual opens per tile
+            open_c = jnp.concatenate(
+                [open_mask, jnp.zeros((ntiles, 1), jnp.bool_)], axis=1)
+            open_gbe = jnp.take(open_c, gbe_cell, axis=1)     # shared-index
+            gkey = jnp.where(open_gbe, gi[None, :], BIGK)
+            sorted_g = jnp.sort(gkey, axis=1)[:, :R_slice]    # (T, R)
+            ent_count = jnp.sum(open_gbe, axis=1).astype(jnp.int32)
+        else:
+            # word-compacted extraction: gathers and sorts scale with the
+            # SPARSE open count.  (1) bit-fold the (T, C) open mask into
+            # int32 words (elementwise -- fast); (2) compact the nonzero
+            # words per tile with a NARROW sort; (3) expand each word's 32
+            # bits to open cell ids and compact those; (4) resolve each
+            # open cell's gbe run [gbe_first, +nblk) and emit <= MAXB
+            # block entries; (5) final narrow sort yields the same
+            # ascending per-tile gbe stream as the wide path -- entries
+            # are BIT-IDENTICAL whenever no cap overflows (caps trip the
+            # existing exact-fallback tile_over, never silent truncation).
+            WKS = C // 32
+            RW = min(WKS, 256)
+            MAXB = 4
+            sh32 = jnp.arange(32, dtype=jnp.int32)
+            ow = (open_mask.reshape(ntiles, WKS, 32).astype(jnp.int32)
+                  << sh32[None, None, :]).sum(axis=2, dtype=jnp.int32)
+            wkey = jnp.where(ow != 0,
+                             jnp.arange(WKS, dtype=jnp.int32)[None, :], BIGK)
+            sw = jnp.sort(wkey, axis=1)[:, :RW]               # (T, RW)
+            wvalid = sw < BIGK
+            swc = jnp.minimum(sw, WKS - 1)
+            wv = jnp.where(wvalid,
+                           jnp.take_along_axis(ow, swc, axis=1), 0)
+            wcnt = jnp.sum(ow != 0, axis=1).astype(jnp.int32)
+            # per-cell gbe run table (first index + block count)
+            gbe_first = jnp.full((C + 1,), GBE_cap, jnp.int32).at[
+                gbe_cell].min(gi)
+            gbe_nblk = jnp.zeros((C + 1,), jnp.int32).at[gbe_cell].add(
+                jnp.where(gbe_valid, 1, 0))
+            cells32 = swc[:, :, None] * 32 + sh32[None, None, :]
+            obit = ((wv[:, :, None] >> sh32[None, None, :]) & 1) > 0
+            R_CELL = min(R_slice, RW * 32)
+            ckey = jnp.where(obit, cells32, BIGK).reshape(ntiles, RW * 32)
+            sc = jnp.sort(ckey, axis=1)[:, :R_CELL]           # open cells
+            cvalid = sc < BIGK
+            scc = jnp.minimum(sc, C - 1)
+            g0 = gbe_first[scc]                               # (T, R_CELL)
+            kb = jnp.where(cvalid, gbe_nblk[scc], 0)
+            cell_cnt = jnp.sum(obit, axis=(1, 2)).astype(jnp.int32)
+            jj3 = jnp.arange(MAXB, dtype=jnp.int32)[None, None, :]
+            ent3 = g0[:, :, None] + jj3
+            val3 = cvalid[:, :, None] & (jj3 < jnp.minimum(kb, MAXB)[:, :, None])
+            ekey = jnp.where(val3, ent3, BIGK).reshape(ntiles, R_CELL * MAXB)
+            sorted_g = jnp.sort(ekey, axis=1)[:, :R_slice]
+            ent_count = jnp.sum(kb, axis=1).astype(jnp.int32)
+            extra_over = ((wcnt > RW) | (cell_cnt > R_CELL)
+                          | jnp.any(cvalid & (gbe_nblk[scc] > MAXB), axis=1))
+        slot = jnp.arange(R_slice, dtype=jnp.int32)[None, :]
+        vmask = slot < jnp.minimum(ent_count, R_slice)[:, None]
         ent_rows = jnp.where(vmask, sorted_g, pad_gbe)
         ent_rows = jnp.concatenate(
             [jnp.full((ntiles, 1), pad_gbe, jnp.int32), ent_rows], axis=1)
@@ -996,7 +1052,7 @@ def compute_force_grouped_fast(
         ].set(flat_ent, mode="drop")
         per_tile = 1 + jnp.minimum(ent_count, R_slice)
         end_rank = jnp.cumsum(per_tile)
-        tile_over = (ent_count > R_slice) | (end_rank > E_cap)
+        tile_over = (ent_count > R_slice) | (end_rank > E_cap) | extra_over
 
         # resolve the gbe indirection into self-describing lohi entries
         # (two flat gathers at E_cap scale; the pad gbe row resolves to

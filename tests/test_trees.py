@@ -696,3 +696,47 @@ def test_packed_masks_match_dense(algo, f32_eps):
                                                ablate="densemask")
     assert float(jnp.max(jnp.abs(a0))) > 0
     assert float(jnp.max(jnp.abs(a0 - a1))) == 0.0
+
+
+@pytest.mark.parametrize("algo", ["octree", "bvh"])
+def test_word_extraction_matches_wide(algo, f32_eps):
+    """Round-3 lever: word-compacted entry extraction (bit-fold open
+    masks -> narrow sorts) must yield BIT-identical forces to the wide
+    take+sort it replaces (ablate="widextract") -- same entry stream by
+    construction when no cap overflows."""
+    from nbody_tpu.ops.geometry import scalar_bounds
+    from nbody_tpu.ops.octree import max_depth as odepth, morton_sort, \
+        robust_quant_box
+    from nbody_tpu.ops.octree_group import compute_force_grouped_fast
+    from nbody_tpu.ops.bvh_group import compute_force_grouped_windowed
+
+    n, dim = 16384, 3
+    rng = np.random.default_rng(5)
+    centers = rng.uniform(-60, 60, (12, dim))
+    x = jnp.asarray((centers[rng.integers(0, 12, n)] +
+                     rng.normal(0, 1.5, (n, dim))).astype(np.float32))
+    m = jnp.asarray(rng.uniform(0.1, 1, n).astype(np.float32))
+    if algo == "octree":
+        depth = odepth(n, dim)
+        lo, hi = scalar_bounds(x)
+        lo_r, hi_r = robust_quant_box(x, lo, hi)
+        ms, xs, ks, _ = morton_sort(m, x, lo_r, hi_r, depth)
+        a0, i0 = compute_force_grouped_fast(ms, xs, ks, lo_r, hi_r, depth,
+                                            0.5, 1.0, f32_eps,
+                                            interpret=True)
+        a1, _ = compute_force_grouped_fast(ms, xs, ks, lo_r, hi_r, depth,
+                                           0.5, 1.0, f32_eps,
+                                           interpret=True,
+                                           ablate="widextract")
+    else:
+        xmin, xmax = aabb_of_points(x, f32_eps)
+        perm = hilbert_sort_perm(x, xmin, xmax, true_curve=True)
+        ms, xs = m[perm], x[perm]
+        tree = build_tree(ms, xs, f32_eps)
+        a0, i0 = compute_force_grouped_windowed(tree, ms, xs, 0.5, 1.0,
+                                                f32_eps, interpret=True)
+        a1, _ = compute_force_grouped_windowed(tree, ms, xs, 0.5, 1.0,
+                                               f32_eps, interpret=True,
+                                               ablate="widextract")
+    assert int(i0["entries"]) > 0       # the word pipeline actually ran
+    assert float(jnp.max(jnp.abs(a0 - a1))) == 0.0
