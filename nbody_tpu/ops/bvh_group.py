@@ -718,6 +718,7 @@ def compute_force_grouped_windowed(
             xp.reshape(npad, dim), mm[:W], mx[:W].T,
             pack_mask_bits(far_bool, 1024), float(eps),
             interpret=interpret,
+            tile_group=(2 if "ftg2" in ablate.split(",") else 1),
         )
 
     out_count = jnp.sum(out_open, axis=1).astype(jnp.int32)

@@ -895,6 +895,7 @@ def compute_force_grouped_fast(
             xp.reshape(npad, dim), mm_heap, com_heap.T,
             pack_mask_bits(acc_bool, 1024), float(eps),
             interpret=interpret, softening="sqrt3",
+            tile_group=(2 if "ftg2" in ablate.split(",") else 1),
         )
 
     # ---- window evaluation (exact bodies in [lo_t, hi_t)) -------------

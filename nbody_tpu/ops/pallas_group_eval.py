@@ -256,25 +256,39 @@ def masked_eval_pallas(
     return out
 
 
-def _masked_bits_kernel(dim, eps, softening, xi_ref, xjt_ref, mj_ref,
-                        words_ref, out_ref):
-    """masked_eval with a bit-packed mask: words (1, 1, TJ//32) int32."""
+def _masked_bits_kernel(dim, eps, softening, tb, tg, xi_ref, xjt_ref,
+                        mj_ref, words_ref, out_ref):
+    """masked_eval with a bit-packed mask: words (1, tg, TJ//32) int32.
+
+    tg > 1 groups tg consecutive body TILES into one grid step (each
+    step pays ~2 us of Mosaic sequencing; tg=2 halves the step count):
+    the xi block holds tg*tb rows, each tb-row band applying its own
+    tile's mask row via a row-iota select."""
     c = pl.program_id(1)
 
     @pl.when(c == 0)
     def _():
         out_ref[:, :] = jnp.zeros_like(out_ref)
 
-    xi = xi_ref[:, :]
-    mask = _unpack_bits(words_ref[0, :, :], xi.dtype)       # (1, TJ)
+    xi = xi_ref[:, :]                                        # (tg*tb, dim)
     dx, r = _pair_weight(dim, eps, softening, xi, xjt_ref)
-    w = (mask[0, :] * mj_ref[0, :])[None, :] * r
+    if tg == 1:
+        mask = _unpack_bits(words_ref[0, :, :], xi.dtype)    # (1, TJ)
+        w = (mask[0, :] * mj_ref[0, :])[None, :] * r
+    else:
+        rows = jax.lax.broadcasted_iota(jnp.int32, (tg * tb, 1), 0) // tb
+        mask = jnp.zeros((tg * tb, r.shape[1]), xi.dtype)
+        for g in range(tg):
+            mg = _unpack_bits(words_ref[0, g:g + 1, :], xi.dtype)
+            mask = mask + jnp.where(rows == g, mg, 0.0)
+        w = (mask * mj_ref[0, :][None, :]) * r
     for d in range(dim):
         out_ref[:, d] += jnp.sum(w * dx[d], axis=1)
 
 
 @functools.partial(
-    jax.jit, static_argnames=("eps", "tile_j", "interpret", "softening")
+    jax.jit, static_argnames=("eps", "tile_j", "interpret", "softening",
+                              "tile_group")
 )
 def masked_eval_bits_pallas(
     xi: jnp.ndarray,
@@ -285,6 +299,7 @@ def masked_eval_bits_pallas(
     tile_j: int = 1024,
     interpret: bool = False,
     softening: str = "poly",
+    tile_group: int = 1,
 ) -> jnp.ndarray:
     """Far-field evaluation with a BIT-PACKED accept mask.
 
@@ -304,29 +319,39 @@ def masked_eval_bits_pallas(
         xjt = jnp.pad(xjt, ((0, 0), (0, Wp - W)))
     if words.shape[1] != Wp // 32:
         raise ValueError("words must be pack_mask_bits(mask, tile_j)")
+    tg = tile_group
+    ntg = ntiles
+    xi_g, words_g = xi, words[:, None, :]
+    if tg > 1:
+        # pad the tile axis to a tg multiple with zero-mask tiles
+        ntg = -(-ntiles // tg) * tg
+        if ntg != ntiles:
+            xi_g = jnp.pad(xi, ((0, (ntg - ntiles) * tb), (0, 0)))
+            words_g = jnp.pad(words, ((0, ntg - ntiles), (0, 0)))[:, None, :]
+        words_g = words_g.reshape(ntg // tg, tg, Wp // 32)
 
     kernel = functools.partial(_masked_bits_kernel, dim, float(eps),
-                               softening)
+                               softening, tb, tg)
     out = pl.pallas_call(
         kernel,
-        grid=(ntiles, Wp // tile_j),
+        grid=(ntg // tg, Wp // tile_j),
         in_specs=[
-            pl.BlockSpec((tb, dim), lambda t, c: (t, 0)),
+            pl.BlockSpec((tg * tb, dim), lambda t, c: (t, 0)),
             pl.BlockSpec((dim, tile_j), lambda t, c: (0, c)),
             pl.BlockSpec((1, tile_j), lambda t, c: (0, c)),
-            pl.BlockSpec((1, 1, tile_j // 32), lambda t, c: (t, 0, c)),
+            pl.BlockSpec((1, tg, tile_j // 32), lambda t, c: (t, 0, c)),
         ],
-        out_specs=pl.BlockSpec((tb, dim), lambda t, c: (t, 0)),
-        out_shape=jax.ShapeDtypeStruct((ntiles * tb, dim), dtype),
+        out_specs=pl.BlockSpec((tg * tb, dim), lambda t, c: (t, 0)),
+        out_shape=jax.ShapeDtypeStruct((ntg * tb, dim), dtype),
         cost_estimate=pl.CostEstimate(
-            flops=int(13 * ntiles * tb) * int(Wp),
-            bytes_accessed=int(ntiles * (tb * dim * 4 + Wp // 8)
+            flops=int(13 * ntg * tb) * int(Wp),
+            bytes_accessed=int(ntg * (tb * dim * 4 + Wp // 8)
                                + Wp * (dim + 1) * 4),
-            transcendentals=int(ntiles * tb) * int(Wp),
+            transcendentals=int(ntg * tb) * int(Wp),
         ),
         interpret=interpret,
-    )(xi, xjt, mj.reshape(1, Wp), words[:, None, :])
-    return out
+    )(xi_g, xjt, mj.reshape(1, Wp), words_g)
+    return out[:ntiles * tb]
 
 
 @functools.partial(
