@@ -478,6 +478,8 @@ def compute_force_grouped_windowed(
     window and L* adapt to small n.  fp32-only (f64/CPU runs use the
     list path).
     """
+    if "epg8" in ablate.split(","):   # A/B: double entry packing
+        epg = 8
     from nbody_tpu.ops.pallas_group_eval import (
         masked_eval_bits_pallas,
         masked_eval_pallas,

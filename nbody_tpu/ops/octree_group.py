@@ -554,6 +554,8 @@ def compute_force_grouped_fast(
     ms/xs/keys are the Morton-SORTED bodies and their full-depth keys.
     Returns (accel in sorted order, info dict).  fp32-only.
     """
+    if "epg8" in ablate.split(","):   # A/B: double entry packing
+        epg = 8
     from nbody_tpu.ops.pallas_group_eval import (
         entries_lohi_eval_pallas,
         group_shared_masked_eval_pallas,
