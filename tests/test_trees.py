@@ -740,3 +740,49 @@ def test_word_extraction_matches_wide(algo, f32_eps):
                                                ablate="widextract")
     assert int(i0["entries"]) > 0       # the word pipeline actually ran
     assert float(jnp.max(jnp.abs(a0 - a1))) == 0.0
+
+
+@pytest.mark.parametrize("algo", ["octree", "bvh"])
+@pytest.mark.parametrize("token", ["epg8", "ftg2"])
+def test_step_packing_ablates_match_default(algo, token, f32_eps):
+    """Round-3 step-count levers behind A/B tokens -- epg8 (8 near-field
+    entries per grid step instead of 4) and ftg2 (2 far-field body-tiles
+    per grid step) -- must be BIT-identical to the default packing: both
+    only regroup which grid step performs an add, never the per-tile
+    accumulation order."""
+    from nbody_tpu.ops.geometry import scalar_bounds
+    from nbody_tpu.ops.octree import max_depth as odepth, morton_sort, \
+        robust_quant_box
+    from nbody_tpu.ops.octree_group import compute_force_grouped_fast
+    from nbody_tpu.ops.bvh_group import compute_force_grouped_windowed
+
+    n, dim = 16384, 3
+    rng = np.random.default_rng(7)
+    centers = rng.uniform(-40, 40, (9, dim))
+    x = jnp.asarray((centers[rng.integers(0, 9, n)] +
+                     rng.normal(0, 1.2, (n, dim))).astype(np.float32))
+    m = jnp.asarray(rng.uniform(0.1, 1, n).astype(np.float32))
+    if algo == "octree":
+        depth = odepth(n, dim)
+        lo, hi = scalar_bounds(x)
+        lo_r, hi_r = robust_quant_box(x, lo, hi)
+        ms, xs, ks, _ = morton_sort(m, x, lo_r, hi_r, depth)
+        a0, i0 = compute_force_grouped_fast(ms, xs, ks, lo_r, hi_r, depth,
+                                            0.5, 1.0, f32_eps,
+                                            interpret=True)
+        a1, _ = compute_force_grouped_fast(ms, xs, ks, lo_r, hi_r, depth,
+                                           0.5, 1.0, f32_eps,
+                                           interpret=True, ablate=token)
+    else:
+        xmin, xmax = aabb_of_points(x, f32_eps)
+        perm = hilbert_sort_perm(x, xmin, xmax, true_curve=True)
+        ms, xs = m[perm], x[perm]
+        tree = build_tree(ms, xs, f32_eps)
+        a0, i0 = compute_force_grouped_windowed(tree, ms, xs, 0.5, 1.0,
+                                                f32_eps, interpret=True)
+        a1, _ = compute_force_grouped_windowed(tree, ms, xs, 0.5, 1.0,
+                                               f32_eps, interpret=True,
+                                               ablate=token)
+    assert int(i0["entries"]) > 0
+    assert float(jnp.max(jnp.abs(a0))) > 0
+    assert float(jnp.max(jnp.abs(a0 - a1))) == 0.0
