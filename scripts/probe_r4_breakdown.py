@@ -25,7 +25,10 @@ ALGO = sys.argv[2]
 ABLATE = "" if sys.argv[3] == "none" else sys.argv[3]
 DIM = int(sys.argv[4]) if len(sys.argv) > 4 else 3
 EVOLVED = int(sys.argv[5]) if len(sys.argv) > 5 else 0
-N = 1_000_000
+# CPU smoke-test overrides (the TPU queue uses the defaults)
+N = int(os.environ.get("PROBE_N", 1_000_000))
+PLATFORM = os.environ.get("PROBE_PLATFORM", "")
+INTERPRET = bool(int(os.environ.get("PROBE_INTERPRET", "0")))
 
 
 def log(obj):
@@ -36,6 +39,9 @@ def log(obj):
 
 def main():
     import jax
+
+    if PLATFORM:
+        jax.config.update("jax_platforms", PLATFORM)
     import jax.numpy as jnp
 
     from nbody_tpu.models import build_galaxy_model
@@ -61,7 +67,7 @@ def main():
             ms, xs, ks, perm = morton_sort(s.m, s.x, lo_r, hi_r, depth)
             a_sorted, info = compute_force_grouped_fast(
                 ms, xs, ks, lo_r, hi_r, depth, theta, G, eps,
-                ablate=ABLATE)
+                ablate=ABLATE, interpret=INTERPRET)
             a = jnp.zeros_like(a_sorted).at[perm].set(a_sorted)
             return leapfrog_step(dataclasses.replace(s, a=a), dt), info
     else:
@@ -84,7 +90,8 @@ def main():
                 ao=packed[:, 1 + 3 * d:])
             tree = build_tree(s.m, s.x, eps)
             a, info = compute_force_grouped_windowed(
-                tree, s.m, s.x, theta, G, eps, ablate=ABLATE)
+                tree, s.m, s.x, theta, G, eps, ablate=ABLATE,
+                interpret=INTERPRET)
             return leapfrog_step(dataclasses.replace(s, a=a), dt), info
 
     st = state
