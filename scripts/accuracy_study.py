@@ -39,6 +39,10 @@ THETA = 0.5
 def evolve_ours(algo, n, dim, dtype, steps, theta, fast):
     import jax
 
+    # f64 legs are real doubles only under x64 (env var ignored by this
+    # jax build; without this the "oracle" silently truncates to f32)
+    jax.config.update("jax_enable_x64", True)
+
     from nbody_tpu.models import build_galaxy_model
     from nbody_tpu.sim.engines import EngineOptions, get_engine
     import nbody_tpu.sim.tree_engines as te

@@ -29,6 +29,11 @@ def log(obj):
 
 def measure(algo: str, n: int, iters_long: int = 2) -> float:
     import jax
+
+    # WITHOUT this, float64 arrays silently truncate to f32 and the
+    # "double" numbers would be a lie (this jax build also ignores the
+    # JAX_ENABLE_X64 env var -- CLAUDE.md)
+    jax.config.update("jax_enable_x64", True)
     import jax.numpy as jnp
 
     from nbody_tpu.models import build_galaxy_model
