@@ -49,7 +49,7 @@ def main():
     ms, xs = m[perm], x[perm]
     tree = build_tree(ms, xs, eps)
     _, info = compute_force_grouped_windowed(
-        tree, ms, xs, theta, G, eps, ablate="rlist,far,win")
+        tree, ms, xs, theta, G, eps, ablate="rlist,far,win", interpret=True)
     ent = int(info["entries"])
     ws = int(info["res_width_sum"])
     rec = {"probe": "width", "algo": "bvh", "n": N, "dim": DIM,
@@ -72,7 +72,7 @@ def main():
     ms2, xs2, ks2, _ = morton_sort(m, x, lo_r, hi_r, depth)
     _, info2 = compute_force_grouped_fast(
         ms2, xs2, ks2, lo_r, hi_r, depth, theta, G, eps,
-        ablate="nlist,far,win")
+        ablate="nlist,far,win", interpret=True)
     rec2 = {"probe": "width", "algo": "octree", "n": N, "dim": DIM,
             "entries": int(info2["entries"]),
             "near_width_sum": int(info2["near_width_sum"]),
