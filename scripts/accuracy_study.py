@@ -39,6 +39,8 @@ THETA = 0.5
 def evolve_ours(algo, n, dim, dtype, steps, theta, fast):
     import jax
 
+    if os.environ.get("ACC_PLATFORM"):
+        jax.config.update("jax_platforms", os.environ["ACC_PLATFORM"])
     # f64 legs are real doubles only under x64 (env var ignored by this
     # jax build; without this the "oracle" silently truncates to f32)
     jax.config.update("jax_enable_x64", True)
