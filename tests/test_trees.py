@@ -447,6 +447,60 @@ def test_octree_fast_theta0_exact(dim, f32_eps):
     assert float(jnp.max(jnp.abs(out.a - a_ref))) / scale < 2e-5
 
 
+@pytest.mark.parametrize("dim", [2, 3])
+def test_wide_node_knobs_accuracy(dim, f32_eps):
+    """Pre-flip pin for the round-3 knob-sweep candidates (tile=1024 +
+    1024-body node granularity, 1-tile window so residual + far field
+    are exercised at the wide granularity): theta=0 must stay exact and
+    theta=0.5 must stay inside the group-MAC error envelope on both
+    engines.  Guards the default flip if the TPU sweep wins."""
+    from nbody_tpu.ops.bvh_group import compute_force_grouped_windowed
+    from nbody_tpu.ops.geometry import scalar_bounds
+    from nbody_tpu.ops.octree import morton_sort, robust_quant_box
+    from nbody_tpu.ops.octree_group import compute_force_grouped_fast
+
+    m, x = _system(2500, dim, clustered=True, seed=23)
+    xmin, xmax = aabb_of_points(x, f32_eps)
+    perm = hilbert_sort_perm(x, xmin, xmax)
+    ms, xs = m[perm], x[perm]
+    tree = build_tree(ms, xs, f32_eps)
+    a_ref = allpairs_accel_dense(ms, xs, 1.0, f32_eps)
+    scale = float(jnp.max(jnp.abs(a_ref))) + 1e-30
+    den = float(jnp.linalg.norm(a_ref)) + 1e-30
+    a0, _ = compute_force_grouped_windowed(
+        tree, ms, xs, 0.0, 1.0, f32_eps, tile=1024, s_target=1024,
+        window_tiles=1, interpret=True)
+    # 1e-4: pure f32 summation-order noise vs the dense oracle -- at
+    # n=2500 clustered the 1024-wide exact accumulations reorder ~8x
+    # more terms than the n=300 theta0 tests (still 100x below the
+    # theta=0.5 approximation scale)
+    assert float(jnp.max(jnp.abs(a0 - a_ref))) / scale < 1e-4
+    a5, _ = compute_force_grouped_windowed(
+        tree, ms, xs, 0.5, 1.0, f32_eps, tile=1024, s_target=1024,
+        window_tiles=1, interpret=True)
+    assert float(jnp.linalg.norm(a5 - a_ref)) / den < 0.02
+
+    depth = max_depth(2500, dim)
+    lo, hi = scalar_bounds(x)
+    lo_r, hi_r = robust_quant_box(x, lo, hi)
+    ms2, xs2, ks2, _ = morton_sort(m, x, lo_r, hi_r, depth)
+    # octree-softened exact oracle ((sqrt(d2)+eps)^3, octree.h quirk)
+    d = xs2[None, :, :] - xs2[:, None, :]
+    dist = jnp.sqrt(jnp.sum(d * d, axis=-1)) + f32_eps
+    w = ms2[None, :] / (dist * dist * dist)
+    b_ref = jnp.einsum("ij,ijd->id", w, d)
+    bscale = float(jnp.max(jnp.abs(b_ref))) + 1e-30
+    bden = float(jnp.linalg.norm(b_ref)) + 1e-30
+    b0, _ = compute_force_grouped_fast(
+        ms2, xs2, ks2, lo_r, hi_r, depth, 0.0, 1.0, f32_eps,
+        tile=1024, s_block=1024, window_tiles=1, interpret=True)
+    assert float(jnp.max(jnp.abs(b0 - b_ref))) / bscale < 1e-4
+    b5, _ = compute_force_grouped_fast(
+        ms2, xs2, ks2, lo_r, hi_r, depth, 0.5, 1.0, f32_eps,
+        tile=1024, s_block=1024, window_tiles=1, interpret=True)
+    assert float(jnp.linalg.norm(b5 - b_ref)) / bden < 0.02
+
+
 def test_fast_paths_chunked_entries_match_single_chunk(f32_eps):
     """Entry lists spanning chunk boundaries must sum identically to the
     single-chunk evaluation (partial per-chunk outputs + aliased zero
