@@ -718,7 +718,7 @@ def compute_force_grouped_windowed(
         # mask -- see masked_eval_bits_pallas)
         far = masked_eval_bits_pallas(
             xp.reshape(npad, dim), mm[:W], mx[:W].T,
-            pack_mask_bits(far_bool, 1024), float(eps),
+            pack_mask_bits(far_bool), float(eps),
             interpret=interpret,
             tile_group=(2 if "ftg2" in ablate.split(",") else 1),
         )
@@ -764,6 +764,11 @@ def compute_force_grouped_windowed(
         # sorted_ids -- force those tiles to the exact fallback
         out_count = jnp.where(wcnt > RW,
                               jnp.asarray(R_slice + 1, jnp.int32), out_count)
+    if "forceover0" in ablate.split(","):
+        # regression-test knob (tests/test_trees.py): simulate the
+        # wcnt > RW word overflow at test scale by inflating tile 0's
+        # count past its valid ids -- vmask then spans sort sentinels
+        out_count = out_count.at[0].set(R_slice + 1)
     slot = jnp.arange(R_slice, dtype=jnp.int32)[None, :]
     vmask = slot < jnp.minimum(out_count, R_slice)[:, None]
     pad_gbe = nodes_res
@@ -773,9 +778,16 @@ def compute_force_grouped_windowed(
     lo_arr = row0_arr % Sd                    # S2 <= Sd: never straddles
     lohi_tbl = jnp.concatenate(
         [lo_arr | ((lo_arr + S2) << 16), jnp.zeros((1,), jnp.int32)])
+    # sorted_ids can carry BIG sort sentinels INSIDE vmask: when
+    # wcnt > RW forces out_count to R_slice + 1, vmask spans all R_slice
+    # slots while the RW retained words may expand to fewer valid node
+    # ids.  The originating tile hits the exact fallback, but an
+    # unsanitized sentinel would set bit 30 of the packed word -- bit 14
+    # of the TILE field -- and add node 0's bodies as garbage force to a
+    # different, UNflagged tile.  Clamp to the pad row (lo == hi: no-op).
     nid_rows = jnp.concatenate(
         [jnp.full((ntiles, 1), pad_gbe, jnp.int32),          # per-tile sentinel
-         jnp.where(vmask, sorted_ids, pad_gbe)], axis=1)
+         jnp.where(vmask, jnp.minimum(sorted_ids, pad_gbe), pad_gbe)], axis=1)
     vflag = jnp.concatenate(
         [jnp.ones((ntiles, 1), jnp.bool_), vmask], axis=1)
     tid_rows = jnp.broadcast_to(t_idx[:, None], vflag.shape).astype(jnp.int32)
@@ -824,6 +836,12 @@ def compute_force_grouped_windowed(
         entries, lohis, end_rank[-1], pad_entry, ntiles=ntiles, epg=epg)
     if tend is not None:
         tile_over = tile_over | (tend > E_cap)
+    # structural invariant (sentinel-leak regression, tests/test_trees.py):
+    # every packed entry must address a real tile.  An OOB tile field
+    # would be CLAMPED by the Mosaic index map on hardware, silently
+    # adding force to the last tile (interpret mode drops the write, so
+    # tests pin this count instead of forces).
+    bad_entries = jnp.sum((entries >> 16) >= ntiles, dtype=jnp.int32)
 
     if "resid" in ablate.split(","):    # ablation probes only (wrong forces!)
         resid = jnp.zeros((npad, dim), dtype)
@@ -846,6 +864,7 @@ def compute_force_grouped_windowed(
         n_entries=n_merged,
     )
     info["res_pairs"] = diag_pairs
+    info["bad_entries"] = bad_entries
     # eval-lane utilization: each entry's math runs over the full S-wide
     # block; sum(hi - lo) / (entries * S) is the useful fraction (drives
     # the residual block-width choice)

@@ -895,7 +895,7 @@ def compute_force_grouped_fast(
 
         far = masked_eval_bits_pallas(
             xp.reshape(npad, dim), mm_heap, com_heap.T,
-            pack_mask_bits(acc_bool, 1024), float(eps),
+            pack_mask_bits(acc_bool), float(eps),
             interpret=interpret, softening="sqrt3",
             tile_group=(2 if "ftg2" in ablate.split(",") else 1),
         )
@@ -924,6 +924,7 @@ def compute_force_grouped_fast(
         )
     far = far + win
 
+    flag_diag = {}
     if r_levels == 0:
         desc_diag = {}
         # ---- global (cell, block) run table -------------------------------
@@ -1025,7 +1026,15 @@ def compute_force_grouped_fast(
                           | jnp.any(cvalid & (gbe_nblk[scc] > MAXB), axis=1))
         slot = jnp.arange(R_slice, dtype=jnp.int32)[None, :]
         vmask = slot < jnp.minimum(ent_count, R_slice)[:, None]
-        ent_rows = jnp.where(vmask, sorted_g, pad_gbe)
+        # sorted_g can carry BIGK sort sentinels INSIDE vmask: ent_count
+        # sums the raw kb while only min(kb, MAXB) entries were emitted,
+        # so a cell spanning > MAXB S-blocks leaves vmask slots holding
+        # BIGK.  The originating tile is flagged extra_over (repaired by
+        # the exact fallback), but an unsanitized sentinel would set bit
+        # 30 of the packed word -- i.e. bit 14 of the TILE field -- and
+        # add garbage force to a different, UNflagged tile.  Clamp to the
+        # pad row (lo == hi: no-op).
+        ent_rows = jnp.where(vmask, jnp.minimum(sorted_g, pad_gbe), pad_gbe)
         ent_rows = jnp.concatenate(
             [jnp.full((ntiles, 1), pad_gbe, jnp.int32), ent_rows], axis=1)
         vflag = jnp.concatenate(
@@ -1056,6 +1065,10 @@ def compute_force_grouped_fast(
         per_tile = 1 + jnp.minimum(ent_count, R_slice)
         end_rank = jnp.cumsum(per_tile)
         tile_over = (ent_count > R_slice) | (end_rank > E_cap) | extra_over
+        flag_diag["flag_entcnt"] = jnp.sum(ent_count > R_slice,
+                                           dtype=jnp.int32)
+        flag_diag["flag_rank"] = jnp.sum(end_rank > E_cap, dtype=jnp.int32)
+        flag_diag["flag_extra"] = jnp.sum(extra_over, dtype=jnp.int32)
 
         # resolve the gbe indirection into self-describing lohi entries
         # (two flat gathers at E_cap scale; the pad gbe row resolves to
@@ -1070,6 +1083,13 @@ def compute_force_grouped_fast(
             entries, lohis, end_rank[-1], pad_entry, ntiles=ntiles, epg=epg)
         if tend is not None:
             tile_over = tile_over | (tend > E_cap)
+        # structural invariant (sentinel-leak regression, tests/test_trees
+        # .py): every packed entry must address a real tile.  An OOB tile
+        # field would be CLAMPED by the Mosaic index map on hardware,
+        # silently adding force to the last tile (interpret mode drops
+        # the write, so tests pin this count instead of forces).
+        flag_diag["bad_entries"] = jnp.sum((entries >> 16) >= ntiles,
+                                           dtype=jnp.int32)
         # eval-lane utilization: entry math runs over the full S-wide
         # block; sum(hi - lo) / (entries * S) is the useful fraction
         near_width_sum = jnp.sum((lohis >> 16) - (lohis & 0xFFFF))
@@ -1313,5 +1333,6 @@ def compute_force_grouped_fast(
     }
     for k, v in desc_diag.items():
         info[f"descend_{k}"] = v
+    info.update(flag_diag)
     out_rows = n if nrows is None else nrows
     return Gv * acc[:out_rows], info

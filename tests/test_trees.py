@@ -840,3 +840,80 @@ def test_step_packing_ablates_match_default(algo, token, f32_eps):
     assert int(i0["entries"]) > 0
     assert float(jnp.max(jnp.abs(a0))) > 0
     assert float(jnp.max(jnp.abs(a0 - a1))) == 0.0
+
+
+# ------------------------------------- sentinel-leak regressions (ADVICE r3)
+
+def test_octree_word_extract_maxb_overflow_no_corruption(f32_eps):
+    """A retained open cell spanning > MAXB=4 S-blocks used to leak BIGK
+    sort sentinels through vmask into the packed entry stream (ent_count
+    sums the raw kb while only min(kb, MAXB) entries are emitted); bit 30
+    of the sentinel corrupted the packed TILE field (tid | 1<<14, clamped
+    to the LAST tile by the eval index map), silently adding gbe-row-0
+    body forces to a tile that is NOT extra_over-flagged.  A dense
+    cluster of 700 bodies in one L* cell with S=128 gives kb = 6 > MAXB;
+    the last Morton tile (far corner, cluster cell MAC-accepted there)
+    stays unflagged and must still match the octree-softened oracle."""
+    from nbody_tpu.ops.geometry import scalar_bounds
+    from nbody_tpu.ops.octree import morton_sort, robust_quant_box
+    from nbody_tpu.ops.octree_group import compute_force_grouped_fast
+
+    rng = np.random.default_rng(77)
+    n, dim = 8192, 2
+    nclus = 700
+    x = rng.uniform(-1.0, 1.0, (n, dim)).astype(np.float32)
+    x[:nclus] = (np.array([-0.6, -0.6], np.float32)
+                 + rng.normal(0, 0.002, (nclus, dim)).astype(np.float32))
+    m = rng.uniform(0.1, 1.0, n).astype(np.float32)
+    m, x = jnp.asarray(m), jnp.asarray(x)
+    depth = max_depth(n, dim)
+    from nbody_tpu.ops.geometry import scalar_bounds as _sb
+    lo, hi = _sb(x)
+    lo_r, hi_r = robust_quant_box(x, lo, hi)
+    ms, xs, ks, _ = morton_sort(m, x, lo_r, hi_r, depth)
+    a, info = compute_force_grouped_fast(
+        ms, xs, ks, lo_r, hi_r, depth, 0.5, 1.0, f32_eps,
+        tile=512, s_block=128, window_tiles=1, interpret=True, epg=1)
+    # the kb > MAXB overflow must actually trigger (extra_over tiles),
+    # but NOT flag every tile -- an unflagged receiver must exist
+    nfb = int(info["fallback_tiles"])
+    assert 0 < nfb < n // 512, nfb
+    assert int(info["flag_extra"]) > 0
+    # the invariant under test: no packed entry may address an OOB tile
+    # (hardware CLAMPS the index map -> garbage in the last tile;
+    # interpret mode DROPS the write, so forces alone cannot catch it)
+    assert int(info["bad_entries"]) == 0
+    a_ref = _allpairs_octree_softening(ms, xs, 1.0, f32_eps)
+    num = float(jnp.linalg.norm(a - a_ref))
+    den = float(jnp.linalg.norm(a_ref)) + 1e-30
+    assert num / den < 0.02, num / den
+
+
+def test_bvh_word_extract_overflow_no_corruption(f32_eps):
+    """When wcnt > RW forces out_count to R_slice+1, vmask spans all
+    R_slice slots while sorted_ids may hold fewer valid node ids; the
+    BIG sentinels used to corrupt the packed tile field and add node-0
+    body forces to an unflagged tile.  The production trigger needs
+    nodes_res > 8192 (untestable in interpret mode); the `forceover0`
+    ablate knob inflates tile 0's count the same way.  Tile 0 itself is
+    flagged and repaired by the exact fallback; every OTHER tile must
+    still match the plain-softened oracle."""
+    from nbody_tpu.ops.bvh_group import compute_force_grouped_windowed
+
+    m, x = _system(2048, 2, clustered=True, seed=55)
+    xmin, xmax = aabb_of_points(x, f32_eps)
+    perm = hilbert_sort_perm(x, xmin, xmax)
+    ms, xs = m[perm], x[perm]
+    tree = build_tree(ms, xs, f32_eps)
+    a, info = compute_force_grouped_windowed(
+        tree, ms, xs, 0.5, 1.0, f32_eps, tile=512, s_target=64,
+        window_tiles=1, interpret=True, ablate="forceover0", epg=1)
+    assert int(info["fallback_tiles"]) >= 1
+    # the invariant under test: no packed entry may address an OOB tile
+    # (hardware CLAMPS the index map -> garbage in the last tile;
+    # interpret mode DROPS the write, so forces alone cannot catch it)
+    assert int(info["bad_entries"]) == 0
+    a_ref = allpairs_accel_dense(ms, xs, 1.0, f32_eps)
+    num = float(jnp.linalg.norm(a - a_ref))
+    den = float(jnp.linalg.norm(a_ref)) + 1e-30
+    assert num / den < 0.02, num / den
