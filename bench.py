@@ -32,10 +32,15 @@ TARGET = 1e12  # north-star interactions/sec/chip
 # v5e VPU arithmetic peak for roofline context: 8x128 lanes x 4 ALUs at
 # ~1.5 GHz (clock derived from the public v5e spec: 197 bf16 TFLOP/s =
 # 2 * 4 MXUs * 128^2 * f => f ~ 1.5 GHz; same number BASELINE.md uses).
-# The per-pair chain is ~12/15 VPU slot-ops (see ops/pallas_allpairs.py),
-# so slot throughput = rate * slots.
+# Slots per pair use the CORRECTED op-count model from the extracted
+# Mosaic IR of the shipped kernel (docs/mosaic_allpairs_3d.mlir,
+# BASELINE.md "op-level schedule analysis"): 23 issue slots/pair in 3-D
+# with broadcasts folded (32 worst-case).  2-D drops one dx sub, two
+# muls, one add and one lane reduction => 18 folded.  The round-2 naive
+# chain model was {2: 12, 3: 15} -- it overstated utilization ~2x and is
+# kept here only for continuity of old BENCH records.
 VPU_PEAK_OPS = 8 * 128 * 4 * 1.5e9
-SLOTS_PER_PAIR = {2: 12, 3: 15}
+SLOTS_PER_PAIR = {2: 18, 3: 23}
 
 
 def measure_dim(dim: int, fast: bool = False) -> dict:
@@ -144,7 +149,7 @@ def measure_tree(algorithm: str, evolve_steps: int = 0, dim: int = 2) -> float:
                                  repeats=2)
 
 
-# metric registry: name -> (callable, kwargs, subprocess timeout seconds).
+# metric registry: name -> (callable, subprocess timeout seconds).
 # Timeouts are generous (first compile through the axon tunnel is
 # 20-200 s; evolved metrics pre-roll 50 steps) but HARD: a dead tunnel
 # worker turns a call into an infinite nanosleep poll (observed round 3:
@@ -202,12 +207,13 @@ def _measure_safe(errors: dict, name: str):
             errors[name] = "skipped: bench wall budget exhausted"
             return None
         global _child
+        eff_tmo = min(tmo, int(left))
         try:
             _child = subprocess.Popen(
                 [sys.executable, __file__, "--metric", name],
                 stdout=subprocess.PIPE, stderr=subprocess.PIPE, text=True,
             )
-            out, serr = _child.communicate(timeout=min(tmo, left))
+            out, serr = _child.communicate(timeout=eff_tmo)
             last = out.strip().splitlines()[-1] if out else ""
             if _child.returncode == 0 and last.startswith("{"):
                 return json.loads(last)["result"]
@@ -215,7 +221,8 @@ def _measure_safe(errors: dict, name: str):
         except subprocess.TimeoutExpired:
             _child.kill()
             _child.wait()
-            errors[name] = f"timeout after {tmo}s (hung tunnel worker?)"
+            errors[name] = (f"timeout after {eff_tmo}s"
+                            f" (metric cap {tmo}s; hung tunnel worker?)")
             return None
         except Exception as e:  # noqa: BLE001 - resilience by contract
             err = f"{type(e).__name__}: {e}"
@@ -312,23 +319,39 @@ def main() -> int:
 
     global _t0
     _t0 = time.monotonic()
-    alive = _tunnel_alive()
-    if not alive:
-        time.sleep(60)
-        alive = _tunnel_alive()
-    if not alive:
-        _errors["tunnel"] = "device liveness probe failed twice; skipped all metrics"
-        _emit()
-        return 0
+
+    def _await_tunnel() -> bool:
+        """PERSISTENT liveness gate (round-3 lesson: two probes in 9
+        minutes forfeited a 110-minute budget against a tunnel that flaps
+        on worker-restart timescales).  Probe on a 5-minute backoff for
+        the WHOLE remaining wall budget -- between probes do nothing, so
+        a dead tunnel costs zero child timeouts.  Returns False when the
+        remaining budget can no longer fit a metric."""
+        probes = 0
+        while True:
+            if _tunnel_alive():
+                return True
+            probes += 1
+            left = BENCH_BUDGET_S - (time.monotonic() - _t0)
+            if left < 360:   # not enough budget left for even one metric
+                _errors["tunnel"] = (
+                    f"device liveness probe failed {probes}x over "
+                    f"{int(time.monotonic() - _t0)}s")
+                return False
+            time.sleep(min(300, max(60, left - 360)))
 
     # priority order: headline first, so a budget/timeout abort still
     # records the numbers the verdict tracks (3-D trees, then 2-D, then
-    # the secondary all-pairs variants)
+    # the secondary all-pairs variants).  Re-gate on liveness before
+    # every metric: a tunnel that dies mid-run is waited out instead of
+    # burning each remaining metric's full child timeout.
     for name in ("allpairs_3d", "octree_3d", "bvh_3d",
                  "octree_3d_evolved", "bvh_3d_evolved",
                  "octree_2d", "bvh_2d",
                  "octree_2d_evolved", "bvh_2d_evolved",
                  "allpairs_3d_fast", "allpairs_2d"):
+        if not _await_tunnel():
+            break
         r = _measure_safe(_errors, name)
         if r is not None:
             _results[name] = r
