@@ -36,6 +36,14 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 
+# Single source of truth for the far-field j-block width: the STRIDED bit
+# order of pack_mask_bits depends on tile_j, and a pack/unpack mismatch
+# that rounds to the same padded word width is undetectable at runtime --
+# so pack and eval both default to this constant and callers should pass
+# neither (ADVICE r3).
+MASK_TILE_J = 1024
+
+
 def _round_up(x: int, m: int) -> int:
     return -(-x // m) * m
 
@@ -150,7 +158,7 @@ def _unpack_bits(words, dtype):
     return bit.astype(dtype)
 
 
-def pack_mask_bits(mask: jnp.ndarray, tile_j: int) -> jnp.ndarray:
+def pack_mask_bits(mask: jnp.ndarray, tile_j: int = MASK_TILE_J) -> jnp.ndarray:
     """Bit-pack a (T, W) boolean accept mask into (T, Wp // 32) int32 words
     in the strided per-block order _unpack_bits expects: within each
     tile_j-wide j-block, node l -> word (l % K), bit (l // K), K = tile_j
@@ -296,7 +304,7 @@ def masked_eval_bits_pallas(
     xjt: jnp.ndarray,
     words: jnp.ndarray,
     eps: float,
-    tile_j: int = 1024,
+    tile_j: int = MASK_TILE_J,
     interpret: bool = False,
     softening: str = "poly",
     tile_group: int = 1,
