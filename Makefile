@@ -1,7 +1,7 @@
 # Convenience targets (the reference's Makefile builds binaries; here the
 # "build" is the optional native library, everything else is Python).
 
-.PHONY: all native test test-full test-fast bench bench-matrix smoke clean
+.PHONY: all native test test-full test-fast bench bench-matrix nasa smoke clean
 
 all: native
 
@@ -29,6 +29,12 @@ smoke:
 
 bench:
 	python bench.py
+
+# ci/thuering analog: synthetic SBDB dataset, octree vs all-pairs vs the
+# g++-built reference binary, L1 final positions (docs/NASA_VALIDATION.md)
+nasa:
+	NBODY_TPU_PLATFORM=cpu python scripts/nasa.py --synthetic 20000 \
+	  --steps 25 --workdir nasa_work
 
 bench-matrix:
 	python scripts/benchmark.py --quick --out benchmark_results.csv
