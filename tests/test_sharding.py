@@ -252,3 +252,154 @@ def test_sharded_octree_fast_matches_local(f32_eps):
     out_loc2 = leapfrog_step(out_loc, cfg.dt)
     scale = float(jnp.max(jnp.abs(out_loc2.x))) + 1e-30
     assert float(jnp.max(jnp.abs(out_sh.x - out_loc2.x))) / scale < 1e-5
+
+
+# ---------------------------------------------------- distributed sort
+
+@pytest.mark.parametrize("n_shards", [2, 8])
+@pytest.mark.parametrize("two_keys", [False, True])
+def test_distributed_sort_matches_global(n_shards, two_keys):
+    """Odd-even transposition block sort: concatenated shard blocks must
+    equal the globally sorted order (keys AND payload), from an arbitrary
+    input distribution."""
+    from jax.sharding import PartitionSpec as P
+
+    from nbody_tpu.parallel.distributed_sort import distributed_sort_rows
+
+    rng = np.random.default_rng(3)
+    n = 64 * n_shards
+    hi = jnp.asarray(rng.integers(0, 4, n, dtype=np.uint32))
+    lo = jnp.asarray(rng.integers(0, 1 << 32, n, dtype=np.uint64).astype(np.uint32))
+    pay = jnp.asarray(rng.normal(0, 1, (n, 3)).astype(np.float32))
+    keys = [hi, lo] if two_keys else [lo]
+    mesh = body_mesh(n_shards)
+
+    def fn(*ops):
+        ks, cs = distributed_sort_rows(
+            list(ops[:len(keys)]), list(ops[len(keys):]),
+            BODY_AXIS, n_shards)
+        return tuple(ks) + tuple(cs)
+
+    mapped = jax.jit(jax.shard_map(
+        fn, mesh=mesh,
+        in_specs=tuple(P(BODY_AXIS) for _ in range(len(keys) + 3)),
+        out_specs=tuple(P(BODY_AXIS) for _ in range(len(keys) + 3)),
+    ))
+    out = mapped(*keys, pay[:, 0], pay[:, 1], pay[:, 2])
+    got_keys, got_cols = out[:len(keys)], out[len(keys):]
+
+    if two_keys:
+        order = np.lexsort((np.asarray(lo), np.asarray(hi)))
+    else:
+        order = np.argsort(np.asarray(lo), kind="stable")
+    exp_keys = [np.asarray(k)[order] for k in keys]
+    exp_pay = np.asarray(pay)[order]
+    for g, e in zip(got_keys, exp_keys):
+        np.testing.assert_array_equal(np.asarray(g), e)
+    got_pay = np.stack([np.asarray(c) for c in got_cols], axis=1)
+    # ties in the major key may reorder payload rows; compare the sorted
+    # multisets per key-run instead of exact rows
+    key_np = exp_keys[-1] if not two_keys else (
+        exp_keys[0].astype(np.uint64) << np.uint64(32)) | exp_keys[1].astype(np.uint64)
+    assert got_pay.shape == exp_pay.shape
+    starts = np.flatnonzero(np.r_[True, key_np[1:] != key_np[:-1]])
+    ends = np.r_[starts[1:], len(key_np)]
+    for s, e in zip(starts, ends):
+        a = np.sort(got_pay[s:e], axis=0)
+        b = np.sort(exp_pay[s:e], axis=0)
+        np.testing.assert_array_equal(a, b)
+
+
+# ------------------------------------------- partitioned octree (weak-scaling)
+
+@pytest.mark.parametrize("dim", [2, 3])
+@pytest.mark.parametrize("clustered", [False, True])
+def test_partitioned_octree_accuracy(dim, clustered, f32_eps):
+    """Partitioned step (distributed sort + psum'd coarse heap + halo
+    near field + ring-exact beyond field) vs the octree-softened dense
+    oracle at theta=0.5: the conservative group MAC must keep the error
+    inside the single-chip fast paths' envelope on uniform AND clustered
+    (Morton-seam-heavy) distributions."""
+    from nbody_tpu.parallel.tree_partitioned import (
+        make_partitioned_octree_step,
+    )
+    from nbody_tpu.state import SystemState
+
+    n = 4096
+    rng = np.random.default_rng(5)
+    if clustered:
+        x = (rng.normal(0, 1, (4, dim))[rng.integers(0, 4, n)] * 30
+             + rng.normal(0, 1, (n, dim))).astype(np.float32)
+    else:
+        x = rng.uniform(-1, 1, (n, dim)).astype(np.float32)
+    m = rng.uniform(0.1, 1.0, n).astype(np.float32)
+    cfg = SimConfig(n=n, dim=dim, dtype=np.float32, theta=0.5, dt=0.0)
+    step = make_partitioned_octree_step(cfg, 8)
+    z = jnp.zeros((n, dim), jnp.float32)
+    st = SystemState(m=jnp.asarray(m), x=jnp.asarray(x), v=z, a=z, ao=z)
+    st2, aux = step(st)
+    xs, ms = np.asarray(st2.x), np.asarray(st2.m)
+    d = xs[None, :, :] - xs[:, None, :]
+    dist = np.sqrt(np.sum(d * d, axis=-1)) + f32_eps
+    w = ms[None, :] / (dist * dist * dist)
+    a_ref = np.einsum("ij,ijd->id", w, d)
+    err = float(np.linalg.norm(np.asarray(st2.a) - a_ref)) / (
+        float(np.linalg.norm(a_ref)) + 1e-30)
+    assert err < 0.01, (err, int(aux["beyond_halo_cells"]))
+
+
+def test_partitioned_octree_theta0_exact(f32_eps):
+    """theta=0 opens everything: every cell is either in the halo
+    interval (exact near field) or beyond (exact ring pass), so the
+    partitioned step must reproduce the direct sum to f32 reorder
+    noise."""
+    from nbody_tpu.parallel.tree_partitioned import (
+        make_partitioned_octree_step,
+    )
+    from nbody_tpu.state import SystemState
+
+    n, dim = 2048, 2
+    rng = np.random.default_rng(9)
+    x = rng.uniform(-1, 1, (n, dim)).astype(np.float32)
+    m = rng.uniform(0.1, 1.0, n).astype(np.float32)
+    cfg = SimConfig(n=n, dim=dim, dtype=np.float32, theta=0.0, dt=0.0)
+    step = make_partitioned_octree_step(cfg, 8)
+    z = jnp.zeros((n, dim), jnp.float32)
+    st = SystemState(m=jnp.asarray(m), x=jnp.asarray(x), v=z, a=z, ao=z)
+    st2, _ = step(st)
+    xs, ms = np.asarray(st2.x), np.asarray(st2.m)
+    d = xs[None, :, :] - xs[:, None, :]
+    dist = np.sqrt(np.sum(d * d, axis=-1)) + f32_eps
+    w = ms[None, :] / (dist * dist * dist)
+    a_ref = np.einsum("ij,ijd->id", w, d)
+    scale = float(np.max(np.abs(a_ref))) + 1e-30
+    assert float(np.max(np.abs(np.asarray(st2.a) - a_ref))) / scale < 1e-4
+
+
+def test_partitioned_octree_multistep_tracks_engine(f32_eps):
+    """Five dt>0 steps of the partitioned stepper vs the single-chip
+    octree engine from the same initial state: trajectories must agree
+    to the approximation envelope (the partitioned path re-sorts every
+    step, so compare position MULTISETS via sorted rows)."""
+    from nbody_tpu.models import build_galaxy_model
+    from nbody_tpu.parallel.tree_partitioned import (
+        make_partitioned_octree_step,
+    )
+    from nbody_tpu.sim.engines import EngineOptions, get_engine
+
+    cfg, state = build_galaxy_model(2048, 2, np.float32)
+    cfg = dataclasses.replace(cfg, theta=0.5)
+    pstep = make_partitioned_octree_step(cfg, 8)
+    estep = get_engine("octree").make_step(cfg, EngineOptions())
+    sp = se = state
+    for k in range(5):
+        sp, _ = pstep(sp)
+        se, _ = estep(se, jnp.zeros((), jnp.int32))
+    xp = np.asarray(sp.x)
+    xe = np.asarray(se.x)
+    # the partitioned path re-sorts every step, so rows are permuted;
+    # lexsort pairing is unstable for near-identical coordinates --
+    # match every partitioned body to its nearest engine body instead
+    d = np.abs(xp[:, None, :] - xe[None, :, :]).sum(-1)
+    scale = np.abs(xe).max() + 1e-30
+    assert d.min(axis=1).max() / scale < 5e-3
