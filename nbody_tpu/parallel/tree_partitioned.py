@@ -204,11 +204,11 @@ def make_partitioned_octree_step(cfg: SimConfig, n_shards: int,
         xt = x_l.reshape(ntiles_l, tile, dim)
         tmin = jnp.min(xt, axis=1)
         tmax = jnp.max(xt, axis=1)
-        far = jnp.zeros((nl, dim), dtype)
         epsv = jnp.asarray(eps, dtype)
         beyond_cells = jnp.zeros((), jnp.int32)
         beyond_mass = jnp.zeros((), dtype)
 
+        accepts, coms, masses = [], [], []
         open_mask = jnp.ones((ntiles_l, 1), jnp.bool_)
         for l in range(L + 1):
             cl, msl = lvl_cnt[l], lvl_mass[l]
@@ -240,28 +240,43 @@ def make_partitioned_octree_step(cfg: SimConfig, n_shards: int,
                 beyond_cells = jnp.sum(open_, dtype=jnp.int32)
                 beyond_mass = jnp.sum(
                     jnp.where(jnp.any(open_, axis=0), msl, 0.0))
-            # masked monopole evaluation for this level's accepts --
-            # per-dim (nl, W_l) planes, never a 4-D (T, tb, W, dim) temp
-            arow = jnp.repeat(accept, tile, axis=0)           # (nl, W_l)
-            dxp = [com[None, :, d] - x_l[:, d][:, None] for d in range(dim)]
-            d2 = dxp[0] * dxp[0]
-            for d in range(1, dim):
-                d2 = d2 + dxp[d] * dxp[d]
-            s = jnp.sqrt(d2) + epsv
-            w = jnp.where(arow, msl[None, :] / (s * s * s), 0.0)
-            far = far + jnp.stack(
-                [jnp.sum(w * dxp[d], axis=1) for d in range(dim)], axis=1)
+            accepts.append(accept)
+            coms.append(com)
+            masses.append(msl)
             if l < L:
                 open_mask = jnp.repeat(open_, nbranch, axis=1)
+
+        # one concatenated heap (W_all = (nbranch^(L+1) - 1)/(nbranch - 1)
+        # slots) evaluated per TILE under lax.map: temporaries stay at
+        # (tile, W_all) instead of (nl, W_all) -- the production path
+        # would stream this through masked_eval_bits_pallas instead
+        acc_all = jnp.concatenate(accepts, axis=1)          # (T, W_all)
+        com_all = jnp.concatenate(coms, axis=0)             # (W_all, dim)
+        ms_all = jnp.concatenate(masses, axis=0)            # (W_all,)
+
+        def _far_tile(args):
+            xtb, am = args                                  # (tile,d),(W,)
+            dxf = com_all[None, :, :] - xtb[:, None, :]
+            d2f = jnp.sum(dxf * dxf, axis=-1)
+            sf = jnp.sqrt(d2f) + epsv
+            wf = jnp.where(am[None, :], ms_all[None, :] / (sf * sf * sf),
+                           0.0)
+            return jnp.einsum("bw,bwd->bd", wf, dxf)
+
+        far = jax.lax.map(_far_tile, (xt, acc_all)).reshape(nl, dim)
 
         # ---- near field: exact vs the snapped halo interval -----------
         jrow = e0 + jnp.arange(halo_w, dtype=jnp.int32)
         mj = jnp.where((jrow >= lo_t) & (jrow < hi_t), m_e, 0.0)
-        dxn = x_e[None, :, :] - x_l[:, None, :]
-        d2n = jnp.sum(dxn * dxn, axis=-1)
-        sn = jnp.sqrt(d2n) + epsv
-        wn = mj[None, :] / (sn * sn * sn)     # self-pair: dx 0/eps^3 -> 0
-        near = jnp.einsum("ij,ijd->id", wn, dxn)
+
+        def _near_tile(xtb):
+            dxn = x_e[None, :, :] - xtb[:, None, :]
+            d2n = jnp.sum(dxn * dxn, axis=-1)
+            sn = jnp.sqrt(d2n) + epsv
+            wn = mj[None, :] / (sn * sn * sn)   # self-pair: 0/eps^3 -> 0
+            return jnp.einsum("bj,bjd->bd", wn, dxn)
+
+        near = jax.lax.map(_near_tile, xt).reshape(nl, dim)
 
         # ---- beyond-halo ring pass: EXACT bodies of Morton-far opens --
         # Every shard's (m, x, keys) block rotates around the ring (the
@@ -283,12 +298,16 @@ def make_partitioned_octree_step(cfg: SimConfig, n_shards: int,
             bmask = jnp.take(beyond_open, cell_v, axis=1)     # (T, nl)
 
             def _eval(xv_, mv_, bm_):
-                dxr = xv_[None, :, :] - x_l[:, None, :]
-                d2r = jnp.sum(dxr * dxr, axis=-1)
-                sr = jnp.sqrt(d2r) + epsv
-                mr = jnp.repeat(bm_, tile, axis=0)            # (nl, nl)
-                wr = jnp.where(mr, mv_[None, :] / (sr * sr * sr), 0.0)
-                return jnp.einsum("ij,ijd->id", wr, dxr)
+                def _ring_tile(args):
+                    xtb, bmt = args
+                    dxr = xv_[None, :, :] - xtb[:, None, :]
+                    d2r = jnp.sum(dxr * dxr, axis=-1)
+                    sr = jnp.sqrt(d2r) + epsv
+                    wr = jnp.where(bmt[None, :],
+                                   mv_[None, :] / (sr * sr * sr), 0.0)
+                    return jnp.einsum("bj,bjd->bd", wr, dxr)
+
+                return jax.lax.map(_ring_tile, (xt, bm_)).reshape(nl, dim)
 
             ring = ring + jax.lax.cond(
                 jnp.any(bmask), _eval,

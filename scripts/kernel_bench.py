@@ -1,6 +1,8 @@
 #!/usr/bin/env python
 """Robust all-pairs kernel throughput measurement on the live backend.
 
+Feeds: BASELINE.md all-pairs throughput numbers (robust variant of bench.py's metric).
+
 The axon TPU tunnel has multi-second latency spikes (worker restarts,
 recompiles), so single differential timings go haywire (negative deltas
 were observed).  Methodology here:

@@ -1,5 +1,7 @@
 #!/usr/bin/env python
 """TPU probe: BVH windowed fast-path knob sweep at n=1M 3-D galaxy
+
+Feeds: BASELINE.md authoritative table + knob-flip record (VERDICT r4 item 3, bvh rows).
 theta=0.5 (VERDICT round-3 item 3 follow-up).  The residual eval is
 entry-OVERHEAD-bound (~2 us per scalar-prefetch DMA), so doubling the
 node granularity S (requires tile >= S) halves the entry count at

@@ -1,6 +1,8 @@
 #!/usr/bin/env python
 """One-off TPU microbench: entries_tables_eval_pallas cost model.
 
+Feeds: BASELINE.md near-field entry cost model (the ~2 us/grid-step number).
+
 Splits the per-entry cost into grid-step overhead vs pair math by timing
 synthetic entry lists: E real entries (full S-range) vs E pad entries
 (lo == hi, math skipped).  Also times the same pair count delivered with

@@ -1,5 +1,7 @@
 #!/usr/bin/env python
 """Micro-probe: the octree entry-extraction primitive costs at production
+
+Feeds: CLAUDE.md/BASELINE.md v5e primitive-rate table (gather/sort/scatter rates).
 shapes (n=1M 3-D: T=1954 tiles, C=32768 cells, GBE~35011).
 
 Cases (argv[2], one per process for tunnel isolation):

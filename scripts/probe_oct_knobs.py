@@ -1,5 +1,7 @@
 #!/usr/bin/env python
 """TPU probe: octree fast-path knob sweep at n=1M galaxy theta=0.5
+
+Feeds: BASELINE.md authoritative table + knob-flip record (VERDICT r4 item 3, octree rows).
 (VERDICT round-3 items 3/6).  Same lever as probe_bvh_knobs: the near
 field is entry-overhead-bound, and doubling the i-tile row count halves
 the entry count at constant pair math (each entry's rows double).  The

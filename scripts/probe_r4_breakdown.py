@@ -1,5 +1,7 @@
 #!/usr/bin/env python
 """Round-3 per-phase breakdown probe (VERDICT round-3 item 3: "publish a
+
+Feeds: BASELINE.md per-phase breakdown (VERDICT r4 item 4); summarize with scripts/summarize_breakdown.py.
 per-phase breakdown of the shipped config showing where the non-near-field
 ~1 s goes").  One ablate case per process (tunnel-safety: a crashed case
 must not take the rest down).  Usage:

@@ -1,6 +1,8 @@
 #!/usr/bin/env python
 """Summarize probe_r4_breakdown JSONL outputs into a per-phase table.
 
+Feeds: BASELINE.md per-phase breakdown table (pairs with probe_r4_breakdown.py).
+
 Phase cost = step("none") - step(ablate-that-removes-the-phase); ablates
 that keep a build but skip an eval (nlist/rlist) isolate build vs eval.
 Usage: summarize_breakdown.py /tmp/bd_oct3.json [...]
