@@ -1,28 +1,39 @@
 #!/usr/bin/env python
-"""fp32-fast-path accuracy study (VERDICT round-2 item 4).
+"""fp32-fast-path accuracy study (VERDICT round-2 item 4 / round-4 item 2).
+
+Feeds: BASELINE.md accuracy tables.
 
 The reference's benchmark matrix runs 3-D double; the TPU fast paths are
 fp32.  This study justifies fp32 as the TPU-native equivalent by putting
 our fp32-fast-path error side by side with the reference binary's own
-float-vs-double error at EQUAL config (galaxy, theta=0.5, 25 steps):
+float-vs-double error at EQUAL config (galaxy, theta=0.5):
 
   ref float-vs-double   L1(ref --precision float, ref --precision double)
   ours fp32-vs-f64      L1(our fp32 fast path,     our f64 group path)
   ref double vs oracle  L1(ref double,  f64 all-pairs oracle)
   ours fp32 vs oracle   L1(our fp32 fast path, f64 all-pairs oracle)
 
-All L1s are final-frame position sums normalized by sum(|x_oracle|)
+All L1s are final-frame position sums normalized by sum(|x_ref|)
 (check_state.py:43-50 metric).  The reference binary runs sequentially
 (tests/ref_oracle.py); our runs use the in-process engines -- fp32 on
 whatever backend this script runs on (run on TPU for the honest
 production numbers; interpret mode is used automatically on CPU).
 
-Usage: scripts/accuracy_study.py [n] [steps] -- writes markdown rows to
-stdout and JSON to accuracy_study.json.
+At representative scale (n >= 1e5) the f64 ALL-PAIRS oracle is
+prohibitive on CPU, so --no-ap-oracle drops the two oracle columns and
+normalizes by the f64 GROUP path instead (the round-4 verdict's asked-for
+comparison); --evolved pre-rolls the state with the fp32 fast path for
+50 steps first, so both precision legs START from the identical evolved
+state and the columns isolate the measured-window divergence.
+
+Usage:
+  scripts/accuracy_study.py [n] [steps] [--dims 2,3] [--evolved]
+                            [--no-ap-oracle] [--out FILE.json]
 """
 
 from __future__ import annotations
 
+import argparse
 import json
 import os
 import sys
@@ -31,12 +42,11 @@ sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
 
 import numpy as np
 
-N = int(sys.argv[1]) if len(sys.argv) > 1 else 16384
-STEPS = int(sys.argv[2]) if len(sys.argv) > 2 else 25
 THETA = 0.5
+PREROLL = 50
 
 
-def evolve_ours(algo, n, dim, dtype, steps, theta, fast):
+def _jax_setup():
     import jax
 
     if os.environ.get("ACC_PLATFORM"):
@@ -44,13 +54,15 @@ def evolve_ours(algo, n, dim, dtype, steps, theta, fast):
     # f64 legs are real doubles only under x64 (env var ignored by this
     # jax build; without this the "oracle" silently truncates to f32)
     jax.config.update("jax_enable_x64", True)
+    return jax
 
-    from nbody_tpu.models import build_galaxy_model
+
+def _make_step(algo, cfg, dtype, fast):
+    import jax
+
     from nbody_tpu.sim.engines import EngineOptions, get_engine
     import nbody_tpu.sim.tree_engines as te
 
-    cfg, state = build_galaxy_model(n, dim, dtype)
-    cfg = cfg.replace(theta=theta)
     if fast:
         on_tpu = jax.default_backend() == "tpu"
         opts = EngineOptions(kernel="auto" if on_tpu else "jnp")
@@ -61,13 +73,45 @@ def evolve_ours(algo, n, dim, dtype, steps, theta, fast):
         opts = EngineOptions(kernel="jnp")
         orig = None
     try:
-        step = get_engine(algo).make_step(cfg, opts)
-        for k in range(steps):
-            state, _ = step(state, k)
+        return get_engine(algo).make_step(cfg, opts)
     finally:
         if orig is not None:
             te._use_pallas_eval = orig
-    return np.asarray(state.x, np.float64)
+
+
+def evolve_ours(algo, n, dim, dtype, steps, theta, fast, state0=None):
+    _jax_setup()
+    import dataclasses
+
+    import jax.numpy as jnp
+
+    from nbody_tpu.models import build_galaxy_model
+    from nbody_tpu.state import SystemState
+
+    cfg, state = build_galaxy_model(n, dim, dtype)
+    cfg = cfg.replace(theta=theta)
+    if state0 is not None:
+        state = SystemState(*(jnp.asarray(np.asarray(f), cfg.dtype)
+                              for f in (state0.m, state0.x, state0.v,
+                                        state0.a, state0.ao)))
+    step = _make_step(algo, cfg, dtype, fast)
+    for k in range(steps):
+        state, _ = step(state, k)
+    return np.asarray(state.x, np.float64), state
+
+
+def preroll_state(n, dim, steps):
+    """Common evolved start: fp32 fast-path pre-roll (both legs consume
+    the SAME state, so pre-roll precision does not enter the columns)."""
+    _jax_setup()
+    from nbody_tpu.models import build_galaxy_model
+
+    cfg, state = build_galaxy_model(n, dim, np.float32)
+    cfg = cfg.replace(theta=THETA)
+    step = _make_step("octree", cfg, np.float32, fast=True)
+    for k in range(steps):
+        state, _ = step(state, k)
+    return state
 
 
 def ref_final(dim, algo, prec, n, steps, theta, workdir):
@@ -87,48 +131,83 @@ def ref_final(dim, algo, prec, n, steps, theta, workdir):
 def main():
     import tempfile
 
+    p = argparse.ArgumentParser()
+    p.add_argument("n", nargs="?", type=int, default=16384)
+    p.add_argument("steps", nargs="?", type=int, default=25)
+    p.add_argument("--dims", default="2,3")
+    p.add_argument("--evolved", action="store_true",
+                   help=f"pre-roll {PREROLL} fp32 fast steps first")
+    p.add_argument("--no-ap-oracle", action="store_true",
+                   help="skip the f64 all-pairs oracle legs (large n)")
+    p.add_argument("--out", default="accuracy_study.json")
+    a = p.parse_args()
+    N, STEPS = a.n, a.steps
+    dims = [int(d) for d in a.dims.split(",")]
+
     rows = []
     with tempfile.TemporaryDirectory() as tmp:
-        for dim in (2, 3):
+        for dim in dims:
+            state0 = preroll_state(N, dim, PREROLL) if a.evolved else None
             for algo in ("bvh", "octree"):
-                print(f"# {algo} {dim}-D n={N} steps={STEPS} ...",
-                      file=sys.stderr, flush=True)
-                x_oracle = evolve_ours("all-pairs", N, dim, np.float64,
-                                       STEPS, 0.0, fast=False)
-                scale = float(np.abs(x_oracle).sum())
-
-                ref_d = ref_final(dim, algo, "double", N, STEPS, THETA, tmp)
-                ref_f = ref_final(dim, algo, "float", N, STEPS, THETA, tmp)
-                our_64 = evolve_ours(algo, N, dim, np.float64, STEPS, THETA,
-                                     fast=False)
-                our_32 = evolve_ours(algo, N, dim, np.float32, STEPS, THETA,
-                                     fast=True)
-
-                def l1(a, b):
-                    return float(np.abs(a - b).sum()) / scale
-
-                rows.append({
+                print(f"# {algo} {dim}-D n={N} steps={STEPS} "
+                      f"evolved={a.evolved} ...", file=sys.stderr, flush=True)
+                our_64, _ = evolve_ours(algo, N, dim, np.float64, STEPS,
+                                        THETA, fast=False, state0=state0)
+                our_32, _ = evolve_ours(algo, N, dim, np.float32, STEPS,
+                                        THETA, fast=True, state0=state0)
+                row = {
                     "dim": dim, "algo": algo, "n": N, "steps": STEPS,
-                    "theta": THETA,
-                    "ref_float_vs_double": l1(ref_f, ref_d),
-                    "ours_fp32fast_vs_f64group": l1(our_32, our_64),
-                    "ref_double_vs_oracle": l1(ref_d, x_oracle),
-                    "ours_fp32fast_vs_oracle": l1(our_32, x_oracle),
-                    "ours_f64group_vs_oracle": l1(our_64, x_oracle),
-                })
-                print(json.dumps(rows[-1]), flush=True)
+                    "theta": THETA, "evolved": bool(a.evolved),
+                }
+                if a.no_ap_oracle:
+                    scale = float(np.abs(our_64).sum())
+                    row["ours_fp32fast_vs_f64group"] = (
+                        float(np.abs(our_32 - our_64).sum()) / scale)
+                    # the reference legs need the same start; only the
+                    # fresh configuration is reproducible in the binary
+                    if not a.evolved:
+                        ref_d = ref_final(dim, algo, "double", N, STEPS,
+                                          THETA, tmp)
+                        ref_f = ref_final(dim, algo, "float", N, STEPS,
+                                          THETA, tmp)
+                        row["ref_float_vs_double"] = (
+                            float(np.abs(ref_f - ref_d).sum()) / scale)
+                        row["ours_f64group_vs_ref_double"] = (
+                            float(np.abs(our_64 - ref_d).sum()) / scale)
+                else:
+                    x_oracle, _ = evolve_ours("all-pairs", N, dim,
+                                              np.float64, STEPS, 0.0,
+                                              fast=False, state0=state0)
+                    scale = float(np.abs(x_oracle).sum())
 
-    with open("accuracy_study.json", "w") as fh:
+                    def l1(x, y):
+                        return float(np.abs(x - y).sum()) / scale
+
+                    ref_d = ref_final(dim, algo, "double", N, STEPS, THETA,
+                                      tmp)
+                    ref_f = ref_final(dim, algo, "float", N, STEPS, THETA,
+                                      tmp)
+                    row.update({
+                        "ref_float_vs_double": l1(ref_f, ref_d),
+                        "ours_fp32fast_vs_f64group": l1(our_32, our_64),
+                        "ref_double_vs_oracle": l1(ref_d, x_oracle),
+                        "ours_fp32fast_vs_oracle": l1(our_32, x_oracle),
+                        "ours_f64group_vs_oracle": l1(our_64, x_oracle),
+                    })
+                rows.append(row)
+                print(json.dumps(row), flush=True)
+
+    with open(a.out, "w") as fh:
         json.dump(rows, fh, indent=1)
 
-    print("\n| dim | algo | ref float-vs-double | ours fp32-vs-f64 | "
-          "ref double vs oracle | ours fp32 vs oracle |")
-    print("|---|---|---|---|---|---|")
+    keys = sorted({k for r in rows for k in r
+                   if k not in ("dim", "algo", "n", "steps", "theta",
+                                "evolved")})
+    print("\n| dim | algo | evolved | " + " | ".join(keys) + " |")
+    print("|---" * (3 + len(keys)) + "|")
     for r in rows:
-        print(f"| {r['dim']} | {r['algo']} | {r['ref_float_vs_double']:.2e} "
-              f"| {r['ours_fp32fast_vs_f64group']:.2e} "
-              f"| {r['ref_double_vs_oracle']:.2e} "
-              f"| {r['ours_fp32fast_vs_oracle']:.2e} |")
+        cells = " | ".join(f"{r[k]:.2e}" if k in r else "-" for k in keys)
+        print(f"| {r['dim']} | {r['algo']} | {r['evolved']} | {cells} |")
 
 
 if __name__ == "__main__":
