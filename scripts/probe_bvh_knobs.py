@@ -1,12 +1,12 @@
 #!/usr/bin/env python
 """TPU probe: BVH windowed fast-path knob sweep at n=1M 3-D galaxy
-
-Feeds: BASELINE.md authoritative table + knob-flip record (VERDICT r4 item 3, bvh rows).
 theta=0.5 (VERDICT round-3 item 3 follow-up).  The residual eval is
 entry-OVERHEAD-bound (~2 us per scalar-prefetch DMA), so doubling the
 node granularity S (requires tile >= S) halves the entry count at
 constant total pair math -- tile=1024+s_target=1024 is the untried
 combination (tile=1024 alone measured neutral, BASELINE.md).
+
+Feeds: BASELINE.md authoritative table + knob-flip record (VERDICT r4 item 3, bvh rows).
 
 Usage: probe_bvh_knobs.py OUT SPEC
 SPEC = tile,s_target,window_tiles,ablate|none,evolved

@@ -1,9 +1,10 @@
 #!/usr/bin/env python
 """One-off TPU probe: production ENGINE step timing (the bench.py tree
+metric) for one (algo, dim, evolved) case per process.
+Usage: probe_engine_step.py OUT algo,dim,evolve_steps
 
 Feeds: BASELINE.md authoritative shipped-defaults table (same configs as bench.py).
-metric) for one (algo, dim, evolved) case per process.
-Usage: probe_engine_step.py OUT algo,dim,evolve_steps"""
+"""
 
 import json
 import os

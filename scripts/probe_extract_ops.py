@@ -1,8 +1,8 @@
 #!/usr/bin/env python
 """Micro-probe: the octree entry-extraction primitive costs at production
+shapes (n=1M 3-D: T=1954 tiles, C=32768 cells, GBE~35011).
 
 Feeds: CLAUDE.md/BASELINE.md v5e primitive-rate table (gather/sort/scatter rates).
-shapes (n=1M 3-D: T=1954 tiles, C=32768 cells, GBE~35011).
 
 Cases (argv[2], one per process for tunnel isolation):
   take     open_gbe = jnp.take(open_c, gbe_cell, axis=1)   (T, GBE) lane

@@ -1,9 +1,9 @@
 #!/usr/bin/env python
 """One-off TPU probe: the f64 LIST-path tree step cost (VERDICT round-2
-
-Feeds: BASELINE.md f64 tree-step table (VERDICT r4 item 2).
 item 4) -- the reference's benchmark matrix is 3-D double, which on TPU
 falls back to the chunked jnp group-list path over emulated f64.
+
+Feeds: BASELINE.md f64 tree-step table (VERDICT r4 item 2).
 
 Measures seconds/step for bvh+octree, 3-D double galaxy theta=0.5, at
 increasing n (100k, 250k, then 1M only if a 250k step stays under the

@@ -1,12 +1,12 @@
 #!/usr/bin/env python
 """TPU probe: octree fast-path knob sweep at n=1M galaxy theta=0.5
-
-Feeds: BASELINE.md authoritative table + knob-flip record (VERDICT r4 item 3, octree rows).
 (VERDICT round-3 items 3/6).  Same lever as probe_bvh_knobs: the near
 field is entry-overhead-bound, and doubling the i-tile row count halves
 the entry count at constant pair math (each entry's rows double).  The
 round-2 'bigger tiles negative' result predates S=1024 blocks, lo/hi
 merging, bit-packed masks and in-kernel windows -- re-test at HEAD.
+
+Feeds: BASELINE.md authoritative table + knob-flip record (VERDICT r4 item 3, octree rows).
 
 Usage: probe_oct_knobs.py OUT SPEC
 SPEC = tile,s_block,window_tiles,ablate|none,dim,evolved

@@ -1,7 +1,5 @@
 #!/usr/bin/env python
 """Round-3 per-phase breakdown probe (VERDICT round-3 item 3: "publish a
-
-Feeds: BASELINE.md per-phase breakdown (VERDICT r4 item 4); summarize with scripts/summarize_breakdown.py.
 per-phase breakdown of the shipped config showing where the non-near-field
 ~1 s goes").  One ablate case per process (tunnel-safety: a crashed case
 must not take the rest down).  Usage:
@@ -10,6 +8,9 @@ ALGO = octree | bvh; ABLATE = comma-token ablate spec or "none".
 Phase cost = step("none") - step(ablate-that-removes-the-phase); the
 "near"/"far"/"win" tokens zero an output so XLA DCEs that phase's whole
 chain, "nlist"/"rlist" keep the list BUILD and skip only the eval.
+
+
+Feeds: BASELINE.md per-phase breakdown (VERDICT r4 item 4); summarize with scripts/summarize_breakdown.py.
 """
 
 import dataclasses
