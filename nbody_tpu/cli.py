@@ -34,6 +34,8 @@ _HELP = """Help:
 --kernel auto|pallas|jnp\t\tForce-kernel backend (default auto)
 --platform auto|cpu|tpu\t\tJAX backend (default auto; env NBODY_TPU_PLATFORM)
 --mesh N\t\tShard bodies across N devices (default 1)
+--mesh-layout L\treplicated (default) | partitioned (octree: sharded
+\t\tbodies + distributed sort, O(n/S) per device)
 --chunk N\t\tRow-chunk size for the jnp fallback kernels
 --fix-collapsed-z\t\tFix the reference's frozen-z quirk in all-pairs-collapsed
 --sort-every K\t\tRe-sort bodies every K steps in tree engines (default 1)
@@ -70,6 +72,7 @@ def parse_args(argv: list[str]) -> dict:
         "platform": None,
         "kernel": "auto",
         "mesh": 1,
+        "mesh_layout": "replicated",
         "chunk": 2048,
         "fix_z": False,
         "sort_every": 1,
@@ -161,6 +164,14 @@ def parse_args(argv: list[str]) -> dict:
         elif flag == "--mesh":
             i += 1
             args["mesh"] = int(argv[i])
+        elif flag == "--mesh-layout":
+            i += 1
+            if argv[i] not in ("replicated", "partitioned"):
+                print(f'Unknown mesh layout: "{argv[i]}".', file=sys.stderr)
+                print("Options are: replicated (default), partitioned.",
+                      file=sys.stderr)
+                raise SystemExit(1)
+            args["mesh_layout"] = argv[i]
         elif flag == "--chunk":
             i += 1
             args["chunk"] = int(argv[i])
@@ -259,6 +270,7 @@ def main(argv: list[str] | None = None, out=None) -> int:
             chunk=args["chunk"],
             fix_z=args["fix_z"],
             mesh=args["mesh"],
+            mesh_layout=args["mesh_layout"],
             sort_every=args["sort_every"],
             traversal=args["traversal"],
             group_tile=args["group_tile"],

@@ -49,6 +49,7 @@ class EngineOptions:
     chunk: int = 2048           # row-chunk for the jnp fallback path
     fix_z: bool = False         # fix the collapsed-force z-freeze quirk
     mesh: int = 1               # number of devices to shard bodies over
+    mesh_layout: str = "replicated"  # replicated|partitioned tree layout
     sort_every: int = 1         # re-sort cadence for tree engines
     traversal: str = "group"    # group|per-body : BVH traversal strategy
     group_tile: int = 512       # bodies per tile in group traversal

@@ -19,7 +19,7 @@ import numpy as np
 from nbody_tpu.config import SimConfig
 from nbody_tpu.state import SystemState
 from nbody_tpu.ops.integrator import leapfrog_step
-from nbody_tpu.sim.engines import EngineOptions, _timed
+from nbody_tpu.sim.engines import EngineOptions, _timed, no_aux
 
 
 def _use_pallas_eval(cfg: SimConfig, opts: EngineOptions) -> bool:
@@ -204,6 +204,22 @@ class OctreeEngine:
         upal = _use_pallas_eval(cfg, opts)
 
         if opts.mesh > 1:
+            if opts.mesh_layout == "partitioned":
+                # weak-scaling layout: sharded bodies, distributed sort,
+                # O(n/S + C) per shard (parallel/tree_partitioned.py)
+                from nbody_tpu.parallel.tree_partitioned import (
+                    make_partitioned_octree_step,
+                )
+
+                inner = make_partitioned_octree_step(cfg, opts.mesh)
+
+                def step(state, k):
+                    st, aux = inner(state, k)
+                    aux = dict(aux)
+                    aux.setdefault("overflow", no_aux()["overflow"])
+                    return st, aux
+
+                return step
             from nbody_tpu.parallel.tree_sharded import make_sharded_octree_step
 
             return make_sharded_octree_step(cfg, opts)

@@ -17,5 +17,15 @@ import numpy as np
 def sync(tree) -> None:
     for leaf in jax.tree_util.tree_leaves(tree):
         if hasattr(leaf, "ndim"):
-            idx = (0,) * leaf.ndim
-            np.asarray(jax.device_get(leaf[idx] if leaf.ndim else leaf))
+            try:
+                idx = (0,) * leaf.ndim
+                np.asarray(jax.device_get(leaf[idx] if leaf.ndim else leaf))
+            except Exception:
+                # mesh-sharded leaves reject scalar gathers outside jit
+                # (ShardingTypeError); pull the first addressable shard
+                # instead -- same completion barrier, one-shard transfer
+                shards = getattr(leaf, "addressable_shards", None)
+                if shards:
+                    np.asarray(shards[0].data)
+                else:
+                    np.asarray(jax.device_get(leaf))

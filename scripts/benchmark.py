@@ -82,6 +82,12 @@ def main(argv=None) -> int:
                    help="reference matrix uses double (ci/benchmark); float "
                         "runs the TPU-native fast path")
     p.add_argument("--out", default="benchmark_results.csv")
+    p.add_argument("--steps", type=int, default=None,
+                   help="override the standard-matrix step count")
+    p.add_argument("--big-steps", type=int, default=None,
+                   help="override the N=1M tree runs' step count (the f64 "
+                        "list path costs tens of seconds/step at 1M on "
+                        "emulated TPU f64; per-step rate is what transfers)")
     a = p.parse_args(argv)
 
     if a.quick:
@@ -89,14 +95,17 @@ def main(argv=None) -> int:
     else:
         # the reference's standard matrix (ci/benchmark:13-24)
         n_std, n_big, steps = 100_000, 1_000_000, 200
+    if a.steps is not None:
+        steps = a.steps
+    big_steps = a.big_steps if a.big_steps is not None else steps
 
     matrix = [
         ("all-pairs", n_std, steps),
         ("all-pairs-collapsed", n_std, steps),
         ("octree", n_std, steps),
         ("bvh", n_std, steps),
-        ("octree", n_big, steps),
-        ("bvh", n_big, steps),
+        ("octree", n_big, big_steps),
+        ("bvh", n_big, big_steps),
     ]
 
     meta = hardware_metadata()

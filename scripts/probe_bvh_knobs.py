@@ -53,12 +53,13 @@ def main():
     from nbody_tpu.utils.measure import scan_seconds_per_step
     from nbody_tpu.utils.timing import sync
 
-    tile_s, st_s, wt_s, ablate, evolved_s = SPEC.split(",")
+    parts = SPEC.split(",")
+    tile_s, st_s, wt_s, ablate, evolved_s = parts[:5]
     tile, s_target, wt = int(tile_s), int(st_s), int(wt_s)
     evolved = int(evolved_s)
     ablate = "" if ablate == "none" else ablate
 
-    dim = 3
+    dim = int(parts[5]) if len(parts) > 5 else 3   # optional 6th field
     cfg, state = build_galaxy_model(N, dim, np.float32)
     theta, G, eps, dt = 0.5, float(cfg.G), cfg.eps, cfg.dt
 

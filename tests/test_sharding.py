@@ -403,3 +403,28 @@ def test_partitioned_octree_multistep_tracks_engine(f32_eps):
     d = np.abs(xp[:, None, :] - xe[None, :, :]).sum(-1)
     scale = np.abs(xe).max() + 1e-30
     assert d.min(axis=1).max() / scale < 5e-3
+
+
+def test_cli_mesh_layout_partitioned(tmp_path, monkeypatch):
+    """--mesh 8 --mesh-layout partitioned runs the weak-scaling octree
+    end to end through the CLI (save-state round-trips the final state;
+    bad layout values exit 1 like every other flag)."""
+    import io
+
+    from nbody_tpu.cli import main as cli_main
+    from nbody_tpu.io.saving import load_system
+
+    monkeypatch.chdir(tmp_path)
+    rc = cli_main([
+        "-n", "512", "-s", "2", "--algorithm", "octree",
+        "--workload", "galaxy", "--mesh", "8",
+        "--mesh-layout", "partitioned",
+        "--save-state", "part.bin",
+    ], out=io.StringIO())
+    assert rc in (0, None)
+    _, st = load_system(str(tmp_path / "part.bin"), 2, np.float32)
+    assert st.x.shape == (512, 2)
+    assert np.isfinite(np.asarray(st.x)).all()
+
+    with pytest.raises(SystemExit):
+        cli_main(["--mesh-layout", "bogus"], out=io.StringIO())
