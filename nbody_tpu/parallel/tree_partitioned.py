@@ -96,6 +96,252 @@ def _coarse_level(n: int, dim: int, cap_cells: int = 1 << 14) -> int:
     return l
 
 
+def make_partitioned_bvh_step(cfg: SimConfig, n_shards: int,
+                              mesh: Mesh | None = None,
+                              tile: int = 256, halo: int = 1,
+                              l_top: int | None = None):
+    """Partitioned implicit-BVH step (the BVH variant promised in
+    docs/DISTRIBUTED_TREES.md).  Same layout as the octree version --
+    distributed sort, one-psum coarse heap, halo-exact near field,
+    ring-exact beyond field -- but STRUCTURALLY SIMPLER: implicit-BVH
+    nodes are fixed row ranges (node j at level l covers rows
+    [j * 2^(k-l), (j+1) * 2^(k-l)) of the padded power-of-two stream,
+    bvh.h:98-127 semantics), so the halo interval needs no cell
+    snapping: shard-block boundaries ARE node boundaries whenever the
+    L_top node size divides n/S.  Per-pair math is the BVH softening
+    (d2^1.5 + eps, bvh.h:297).  fp32/f64; requires n_shards and tile to
+    be powers of two."""
+    if mesh is None:
+        mesh = body_mesh(n_shards)
+    from nbody_tpu.ops.hilbert import hilbert_key_u32pair, quantize
+
+    dim, n = cfg.dim, cfg.n
+    theta, G, eps = float(cfg.theta), float(cfg.G), cfg.eps
+    dtype = np.dtype(cfg.dtype).type
+    theta2 = jnp.asarray(theta * theta, dtype)
+
+    k = max(1, (max(n, 2) - 1).bit_length())       # npad = 2^k
+    npad = 1 << k
+    while npad % (n_shards * tile):
+        npad *= 2
+        k += 1
+    nl = npad // n_shards
+    ntiles_l = nl // tile
+    halo_w = (2 * halo + 1) * nl
+    # L_top: ~16 bodies per node, <= 2^14 nodes, node size divides nl
+    L = l_top if l_top is not None else max(1, min(k - 4, 14))
+    L = min(L, k, (nl - 1).bit_length())
+    S2 = 1 << (k - L)                              # bodies per L_top node
+    assert nl % S2 == 0
+
+    def shard_fn(m_l, x_l, v_l, a_l, ao_l, lo, hi, nreal):
+        idx = jax.lax.axis_index(BODY_AXIS)
+
+        # ---- distributed Hilbert sort ((hi, lo) u32 keys with a MAJOR
+        # pad flag: post-sort pads are exactly the global rows >= nreal,
+        # so [:nreal] keeps every real body) ---------------------------
+        cell = quantize(x_l, lo, hi - lo, dim)
+        khi, klo = hilbert_key_u32pair(cell, dim, true_curve=(dim == 3))
+        grow_in = idx * nl + jnp.arange(nl, dtype=jnp.int32)
+        pad_flag = (grow_in >= nreal).astype(jnp.uint32)
+        cols = ([m_l] + [x_l[:, d] for d in range(dim)]
+                + [v_l[:, d] for d in range(dim)]
+                + [a_l[:, d] for d in range(dim)]
+                + [ao_l[:, d] for d in range(dim)])
+        (_, khi, klo), cols = distributed_sort_rows(
+            [pad_flag, khi, klo], cols, BODY_AXIS, n_shards)
+        m_l = cols[0]
+        x_l = jnp.stack(cols[1:1 + dim], axis=1)
+        v_l = jnp.stack(cols[1 + dim:1 + 2 * dim], axis=1)
+        a_l = jnp.stack(cols[1 + 2 * dim:1 + 3 * dim], axis=1)
+        ao_l = jnp.stack(cols[1 + 3 * dim:1 + 4 * dim], axis=1)
+
+        # ---- replicated coarse heap (levels 0..L) via ONE psum -------
+        grow = idx * nl + jnp.arange(nl, dtype=jnp.int32)
+        node = grow >> (k - L)
+        real = grow < nreal
+        C = 1 << L
+        cnt = jnp.zeros((C,), jnp.int32).at[node].add(real.astype(jnp.int32))
+        mass = jnp.zeros((C,), dtype).at[node].add(m_l)
+        mx = jnp.zeros((C, dim), dtype).at[node].add(m_l[:, None] * x_l)
+        big = jnp.asarray(np.finfo(dtype).max, dtype)
+        # pads excluded from node bounding boxes (their duplicated input
+        # position is arbitrary once the flag-major sort moved them)
+        cmin = jnp.full((C, dim), big, dtype).at[node].min(
+            jnp.where(real[:, None], x_l, big))
+        cmax = jnp.full((C, dim), -big, dtype).at[node].max(
+            jnp.where(real[:, None], x_l, -big))
+        cnt, mass, mx = (jax.lax.psum(v, BODY_AXIS) for v in (cnt, mass, mx))
+        cmin = jax.lax.pmin(cmin, BODY_AXIS)
+        cmax = jax.lax.pmax(cmax, BODY_AXIS)
+
+        lvl_cnt, lvl_mass, lvl_mx = [cnt], [mass], [mx]
+        lvl_cmin, lvl_cmax = [cmin], [cmax]
+        for _ in range(L):
+            lvl_cnt.insert(0, lvl_cnt[0].reshape(-1, 2).sum(1))
+            lvl_mass.insert(0, lvl_mass[0].reshape(-1, 2).sum(1))
+            lvl_mx.insert(0, lvl_mx[0].reshape(-1, 2, dim).sum(1))
+            lvl_cmin.insert(0, lvl_cmin[0].reshape(-1, 2, dim).min(1))
+            lvl_cmax.insert(0, lvl_cmax[0].reshape(-1, 2, dim).max(1))
+
+        # ---- halo window (node-aligned: S2 | nl, no snapping) --------
+        parts_m, parts_x = [], []
+        for h in range(-halo, halo + 1):
+            if h == 0:
+                parts_m.append(m_l)
+                parts_x.append(x_l)
+                continue
+            perm = [(s, s - h) for s in range(n_shards)
+                    if 0 <= s - h < n_shards]
+            parts_m.append(jax.lax.ppermute(m_l, BODY_AXIS, perm))
+            parts_x.append(jax.lax.ppermute(x_l, BODY_AXIS, perm))
+        m_e = jnp.concatenate(parts_m)
+        x_e = jnp.concatenate(parts_x)
+        e0 = (idx - halo) * nl
+        r0 = jnp.maximum(0, e0)
+        r1 = jnp.minimum(npad, (idx + halo + 1) * nl)
+
+        # ---- far field: conservative group MAC (bw = true extent) ----
+        xt = x_l.reshape(ntiles_l, tile, dim)
+        tmin = jnp.min(xt, axis=1)
+        tmax = jnp.max(xt, axis=1)
+        epsv = jnp.asarray(eps, dtype)
+
+        accepts, coms, masses = [], [], []
+        open_mask = jnp.ones((ntiles_l, 1), jnp.bool_)
+        for l in range(L + 1):
+            cl, msl = lvl_cnt[l], lvl_mass[l]
+            com = lvl_mx[l] / jnp.maximum(
+                msl, jnp.asarray(1e-30, dtype))[:, None]
+            alive = (cl > 0)[None, :]
+            dmin_v = jnp.maximum(tmin[:, None, :] - com[None, :, :], 0.0)
+            dmin_v = jnp.maximum(dmin_v, com[None, :, :] - tmax[:, None, :])
+            dmin2 = jnp.sum(dmin_v * dmin_v, axis=-1)
+            width = jnp.max(lvl_cmax[l] - lvl_cmin[l], axis=-1)
+            weff = jnp.where(cl > 0, width, 0.0)[None, :]
+            single = (cl == 1)[None, :]
+            span = 1 << (k - l)
+            lstart = (jnp.arange(1 << l, dtype=jnp.int32) * span)[None, :]
+            lend = lstart + span
+            inside = (lstart >= r0) & (lend <= r1)
+            overlap = (lstart < r1) & (lend > r0)
+            partial_w = overlap & ~inside
+            mac = ((weff * weff < theta2 * dmin2) | single) & ~partial_w
+            accept = open_mask & alive & mac & ~inside
+            open_ = open_mask & alive & ~mac & ~inside
+            if l == L:
+                beyond_open = open_
+                beyond_cells = jnp.sum(open_, dtype=jnp.int32)
+                beyond_mass = jnp.sum(
+                    jnp.where(jnp.any(open_, axis=0), msl, 0.0))
+            accepts.append(accept)
+            coms.append(com)
+            masses.append(msl)
+            if l < L:
+                open_mask = jnp.repeat(open_, 2, axis=1)
+
+        acc_all = jnp.concatenate(accepts, axis=1)
+        com_all = jnp.concatenate(coms, axis=0)
+        ms_all = jnp.concatenate(masses, axis=0)
+
+        def _soften(d2):
+            # BVH per-pair math: dist3 = d2^1.5 + eps (bvh.h:297)
+            return d2 * jnp.sqrt(d2) + epsv
+
+        def _far_tile(args):
+            xtb, am = args
+            dxf = com_all[None, :, :] - xtb[:, None, :]
+            d2f = jnp.sum(dxf * dxf, axis=-1)
+            wf = jnp.where(am[None, :], ms_all[None, :] / _soften(d2f), 0.0)
+            return jnp.einsum("bw,bwd->bd", wf, dxf)
+
+        far = jax.lax.map(_far_tile, (xt, acc_all)).reshape(nl, dim)
+
+        # ---- near field: exact vs the halo interval ------------------
+        jrow = e0 + jnp.arange(halo_w, dtype=jnp.int32)
+        mj = jnp.where((jrow >= r0) & (jrow < r1), m_e, 0.0)
+
+        def _near_tile(xtb):
+            dxn = x_e[None, :, :] - xtb[:, None, :]
+            d2n = jnp.sum(dxn * dxn, axis=-1)
+            wn = mj[None, :] / _soften(d2n)   # self-pair: 0/eps -> 0
+            return jnp.einsum("bj,bjd->bd", wn, dxn)
+
+        near = jax.lax.map(_near_tile, xt).reshape(nl, dim)
+
+        # ---- beyond-halo ring pass (node-of-row is pure arithmetic) --
+        ring = jnp.zeros((nl, dim), dtype)
+        mv, xv = m_l, x_l
+        perm = [(s, (s + 1) % n_shards) for s in range(n_shards)]
+        for r in range(n_shards):
+            src = (idx - r) % n_shards
+            node_v = (src * nl
+                      + jnp.arange(nl, dtype=jnp.int32)) >> (k - L)
+            bmask = jnp.take(beyond_open, node_v, axis=1)     # (T, nl)
+
+            def _eval(xv_, mv_, bm_):
+                def _ring_tile(args):
+                    xtb, bmt = args
+                    dxr = xv_[None, :, :] - xtb[:, None, :]
+                    d2r = jnp.sum(dxr * dxr, axis=-1)
+                    wr = jnp.where(bmt[None, :],
+                                   mv_[None, :] / _soften(d2r), 0.0)
+                    return jnp.einsum("bj,bjd->bd", wr, dxr)
+
+                return jax.lax.map(_ring_tile, (xt, bm_)).reshape(nl, dim)
+
+            ring = ring + jax.lax.cond(
+                jnp.any(bmask), _eval,
+                lambda *_: jnp.zeros((nl, dim), dtype),
+                xv, mv, bmask)
+            if r + 1 < n_shards:
+                mv = jax.lax.ppermute(mv, BODY_AXIS, perm)
+                xv = jax.lax.ppermute(xv, BODY_AXIS, perm)
+
+        acc = jnp.asarray(G, dtype) * (far + near + ring)
+        beyond_cells = jax.lax.psum(beyond_cells, BODY_AXIS)
+        beyond_mass = jax.lax.pmax(beyond_mass, BODY_AXIS)
+        return (m_l, x_l, v_l, a_l, ao_l, acc, beyond_cells, beyond_mass,
+                lvl_mass[0][0])
+
+    mapped = _shard_map(
+        shard_fn, mesh,
+        in_specs=(P(BODY_AXIS),) + (P(BODY_AXIS, None),) * 4
+        + (P(), P(), P()),
+        out_specs=((P(BODY_AXIS),) + (P(BODY_AXIS, None),) * 4
+                   + (P(BODY_AXIS, None), P(), P(), P())),
+    )
+
+    from nbody_tpu.ops.integrator import leapfrog_step
+
+    @jax.jit
+    def step(state: SystemState, k_step=None):
+        nreal = state.x.shape[0]
+        pad = npad - nreal
+        if pad:
+            mp = jnp.concatenate([state.m, jnp.zeros((pad,), state.m.dtype)])
+            dup = jnp.broadcast_to(state.x[-1], (pad, dim))
+            xp = jnp.concatenate([state.x, dup])
+            zp = jnp.zeros((pad, dim), state.x.dtype)
+            vp = jnp.concatenate([state.v, zp])
+            ap = jnp.concatenate([state.a, zp])
+            aop = jnp.concatenate([state.ao, zp])
+        else:
+            mp, xp, vp, ap, aop = (state.m, state.x, state.v, state.a,
+                                   state.ao)
+        lo = jnp.min(state.x, axis=0)
+        hi = jnp.max(state.x, axis=0)
+        m2, x2, v2, _a2, ao2, acc, bc, bm, root_mass = mapped(
+            mp, xp, vp, ap, aop, lo, hi, jnp.asarray(nreal, jnp.int32))
+        st = SystemState(m=m2[:nreal], x=x2[:nreal], v=v2[:nreal],
+                         a=acc[:nreal], ao=ao2[:nreal])
+        aux = {"beyond_halo_cells": bc, "beyond_halo_mass": bm,
+               "root_mass": root_mass}
+        return leapfrog_step(st, cfg.dt), aux
+
+    return step
+
+
 def make_partitioned_octree_step(cfg: SimConfig, n_shards: int,
                                  mesh: Mesh | None = None,
                                  tile: int = 256, halo: int = 1,
@@ -126,17 +372,27 @@ def make_partitioned_octree_step(cfg: SimConfig, n_shards: int,
     ntiles_l = nl // tile
     halo_w = (2 * halo + 1) * nl
 
-    def shard_fn(m_l, x_l, v_l, a_l, ao_l, lo, hi):
+    def shard_fn(m_l, x_l, v_l, a_l, ao_l, lo, hi, nreal):
         idx = jax.lax.axis_index(BODY_AXIS)
 
         # ---- distributed Morton sort (payload = full body state) ------
+        # Pad rows sort with a MAJOR pad flag: their duplicated-position
+        # key would otherwise land them mid-stream among equal keys and
+        # the final [:nreal] slice would drop REAL bodies while keeping
+        # zero-mass clones.  With the flag major, post-sort pads are
+        # exactly the global rows >= nreal -- every pad test below is
+        # pure row arithmetic.
         keys = morton_keys(x_l, lo, hi, depth)
+        grow_in = idx * nl + jnp.arange(nl, dtype=jnp.int32)
+        pad_flag = (grow_in >= nreal).astype(jnp.uint32)
         cols = ([m_l] + [x_l[:, d] for d in range(dim)]
                 + [v_l[:, d] for d in range(dim)]
                 + [a_l[:, d] for d in range(dim)]
                 + [ao_l[:, d] for d in range(dim)])
-        (keys,), cols = distributed_sort_rows([keys], cols, BODY_AXIS,
-                                              n_shards)
+        (_, keys), cols = distributed_sort_rows([pad_flag, keys], cols,
+                                                BODY_AXIS, n_shards)
+        grow = idx * nl + jnp.arange(nl, dtype=jnp.int32)
+        is_pad = grow >= nreal
         m_l = cols[0]
         x_l = jnp.stack(cols[1:1 + dim], axis=1)
         v_l = jnp.stack(cols[1 + dim:1 + 2 * dim], axis=1)
@@ -144,7 +400,10 @@ def make_partitioned_octree_step(cfg: SimConfig, n_shards: int,
         ao_l = jnp.stack(cols[1 + 3 * dim:1 + 4 * dim], axis=1)
 
         # ---- replicated coarse heap via ONE psum ----------------------
-        cell = (keys >> jnp.uint32((depth - L) * dim)).astype(jnp.int32)
+        # pads scatter to the out-of-range cell C: dropped (OOB scatter)
+        cell = jnp.where(
+            is_pad, jnp.int32(C),
+            (keys >> jnp.uint32((depth - L) * dim)).astype(jnp.int32))
         cnt = jnp.zeros((C,), jnp.int32).at[cell].add(1)
         mass = jnp.zeros((C,), dtype).at[cell].add(m_l)
         mx = jnp.zeros((C, dim), dtype).at[cell].add(m_l[:, None] * x_l)
@@ -165,9 +424,12 @@ def make_partitioned_octree_step(cfg: SimConfig, n_shards: int,
             lvl_cmax.insert(0, lvl_cmax[0].reshape(-1, nbranch, dim).max(1))
 
         # global L_top row ranges (cells are contiguous in the sorted
-        # order): starts/ends from the psum'd counts
+        # order): starts/ends from the psum'd counts.  Sentinel row C is
+        # the pad tail [nreal, npad).
         ce_arr = jnp.cumsum(cnt)
         cs_arr = ce_arr - cnt
+        cs_arr = jnp.concatenate([cs_arr, nreal[None]])
+        ce_arr = jnp.concatenate([ce_arr, jnp.asarray([npad], jnp.int32)])
 
         # ---- halo window E (2*halo+1 shard blocks) --------------------
         parts_m, parts_x, parts_k = [], [], []
@@ -193,7 +455,10 @@ def make_partitioned_octree_step(cfg: SimConfig, n_shards: int,
         # (octree_group.py window partition)
         r0 = jnp.maximum(0, e0)
         r1 = jnp.minimum(npad, (idx + halo + 1) * nl)
-        cell_e = (k_e >> jnp.uint32((depth - L) * dim)).astype(jnp.int32)
+        jrow_e = e0 + jnp.arange(halo_w, dtype=jnp.int32)
+        cell_e = jnp.where(
+            jrow_e >= nreal, jnp.int32(C),
+            (k_e >> jnp.uint32((depth - L) * dim)).astype(jnp.int32))
         c0 = cell_e[r0 - e0]
         c1 = cell_e[r1 - 1 - e0]
         lo_t = jnp.where(cs_arr[c0] == r0, r0, ce_arr[c0])
@@ -326,7 +591,8 @@ def make_partitioned_octree_step(cfg: SimConfig, n_shards: int,
 
     mapped = _shard_map(
         shard_fn, mesh,
-        in_specs=(P(BODY_AXIS),) + (P(BODY_AXIS, None),) * 4 + (P(), P()),
+        in_specs=(P(BODY_AXIS),) + (P(BODY_AXIS, None),) * 4
+        + (P(), P(), P()),
         out_specs=((P(BODY_AXIS),) + (P(BODY_AXIS, None),) * 4
                    + (P(BODY_AXIS, None), P(), P(), P())),
     )
@@ -351,7 +617,7 @@ def make_partitioned_octree_step(cfg: SimConfig, n_shards: int,
         lo = jnp.min(xp, axis=0)
         hi = jnp.max(xp, axis=0)
         m2, x2, v2, _a2, ao2, acc, bc, bm, root_mass = mapped(
-            mp, xp, vp, ap, aop, lo, hi)
+            mp, xp, vp, ap, aop, lo, hi, jnp.asarray(nreal, jnp.int32))
         # engine contract (ops/integrator.py): a = the accel just
         # computed, ao = the previous step's (rides the sort as payload)
         st = SystemState(m=m2[:nreal], x=x2[:nreal], v=v2[:nreal],

@@ -95,7 +95,22 @@ class BVHEngine:
     def _make_step_sharded(self, cfg: SimConfig, opts: EngineOptions):
         """--mesh N: replicated Hilbert sort + tree build, body-sharded
         group evaluation over the device mesh (the rebuild's own north
-        star; the reference is single-device)."""
+        star; the reference is single-device).  --mesh-layout partitioned
+        switches to the weak-scaling distributed-sort layout."""
+        if opts.mesh_layout == "partitioned":
+            from nbody_tpu.parallel.tree_partitioned import (
+                make_partitioned_bvh_step,
+            )
+
+            inner = make_partitioned_bvh_step(cfg, opts.mesh)
+
+            def step(state, k):
+                st, aux = inner(state, k)
+                aux = dict(aux)
+                aux.setdefault("overflow", no_aux()["overflow"])
+                return st, aux
+
+            return step
         from nbody_tpu.parallel.tree_sharded import make_sharded_bvh_step
 
         return make_sharded_bvh_step(cfg, opts)

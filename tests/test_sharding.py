@@ -258,7 +258,8 @@ def test_sharded_octree_fast_matches_local(f32_eps):
 
 @pytest.mark.parametrize("n_shards", [2, 8])
 @pytest.mark.parametrize("two_keys", [False, True])
-def test_distributed_sort_matches_global(n_shards, two_keys):
+@pytest.mark.parametrize("adaptive", [False, True])
+def test_distributed_sort_matches_global(n_shards, two_keys, adaptive):
     """Odd-even transposition block sort: concatenated shard blocks must
     equal the globally sorted order (keys AND payload), from an arbitrary
     input distribution."""
@@ -277,7 +278,7 @@ def test_distributed_sort_matches_global(n_shards, two_keys):
     def fn(*ops):
         ks, cs = distributed_sort_rows(
             list(ops[:len(keys)]), list(ops[len(keys):]),
-            BODY_AXIS, n_shards)
+            BODY_AXIS, n_shards, adaptive=adaptive)
         return tuple(ks) + tuple(cs)
 
     mapped = jax.jit(jax.shard_map(
@@ -428,3 +429,71 @@ def test_cli_mesh_layout_partitioned(tmp_path, monkeypatch):
 
     with pytest.raises(SystemExit):
         cli_main(["--mesh-layout", "bogus"], out=io.StringIO())
+
+
+@pytest.mark.parametrize("dim", [2, 3])
+@pytest.mark.parametrize("clustered", [False, True])
+def test_partitioned_bvh_accuracy(dim, clustered, f32_eps):
+    """Partitioned implicit-BVH step vs the plain-softened dense oracle
+    at theta=0.5 (d2^1.5 + eps math, bvh.h:297); n NOT divisible by
+    S*tile so the pad path is exercised -- a pad row leaking into the
+    real rows would show as a zero mass."""
+    from nbody_tpu.parallel.tree_partitioned import (
+        make_partitioned_bvh_step,
+    )
+    from nbody_tpu.state import SystemState
+
+    n = 4000
+    rng = np.random.default_rng(5)
+    if clustered:
+        x = (rng.normal(0, 1, (4, dim))[rng.integers(0, 4, n)] * 30
+             + rng.normal(0, 1, (n, dim))).astype(np.float32)
+    else:
+        x = rng.uniform(-1, 1, (n, dim)).astype(np.float32)
+    m = rng.uniform(0.1, 1.0, n).astype(np.float32)
+    cfg = SimConfig(n=n, dim=dim, dtype=np.float32, theta=0.5, dt=0.0)
+    step = make_partitioned_bvh_step(cfg, 8)
+    z = jnp.zeros((n, dim), jnp.float32)
+    st = SystemState(m=jnp.asarray(m), x=jnp.asarray(x), v=z, a=z, ao=z)
+    st2, aux = step(st)
+    ms = np.asarray(st2.m)
+    assert (ms > 0).all()          # no zero-mass pad clones in real rows
+    xs = np.asarray(st2.x)
+    d = xs[None] - xs[:, None]
+    d2 = (d * d).sum(-1)
+    w = ms[None, :] / (d2 * np.sqrt(d2) + f32_eps)
+    a_ref = np.einsum("ij,ijd->id", w, d)
+    err = float(np.linalg.norm(np.asarray(st2.a) - a_ref)) / (
+        float(np.linalg.norm(a_ref)) + 1e-30)
+    assert err < 0.01, (err, int(aux["beyond_halo_cells"]))
+
+
+def test_partitioned_octree_pad_rows_not_dropped(f32_eps):
+    """Regression: pads used to carry a duplicated input-position key and
+    sorted MID-stream, so the [:nreal] slice dropped real bodies and kept
+    zero-mass clones.  With the flag-major sort the returned state must
+    hold every real body (mass multiset preserved) and match the
+    oracle."""
+    from nbody_tpu.parallel.tree_partitioned import (
+        make_partitioned_octree_step,
+    )
+    from nbody_tpu.state import SystemState
+
+    n, dim = 3000, 2               # npad = 8 * 256 * 2 = 4096 > n
+    rng = np.random.default_rng(11)
+    x = rng.uniform(-1, 1, (n, dim)).astype(np.float32)
+    m = rng.uniform(0.1, 1.0, n).astype(np.float32)
+    cfg = SimConfig(n=n, dim=dim, dtype=np.float32, theta=0.5, dt=0.0)
+    step = make_partitioned_octree_step(cfg, 8)
+    z = jnp.zeros((n, dim), jnp.float32)
+    st = SystemState(m=jnp.asarray(m), x=jnp.asarray(x), v=z, a=z, ao=z)
+    st2, _ = step(st)
+    np.testing.assert_array_equal(np.sort(np.asarray(st2.m)), np.sort(m))
+    xs, ms = np.asarray(st2.x), np.asarray(st2.m)
+    d = xs[None] - xs[:, None]
+    dist = np.sqrt((d * d).sum(-1)) + f32_eps
+    w = ms[None, :] / dist**3
+    a_ref = np.einsum("ij,ijd->id", w, d)
+    err = float(np.linalg.norm(np.asarray(st2.a) - a_ref)) / (
+        float(np.linalg.norm(a_ref)) + 1e-30)
+    assert err < 0.01, err
