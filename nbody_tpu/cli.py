@@ -34,7 +34,7 @@ _HELP = """Help:
 --kernel auto|pallas|jnp\t\tForce-kernel backend (default auto)
 --platform auto|cpu|tpu\t\tJAX backend (default auto; env NBODY_TPU_PLATFORM)
 --mesh N\t\tShard bodies across N devices (default 1)
---mesh-layout L\treplicated (default) | partitioned (octree: sharded
+--mesh-layout L\treplicated (default) | partitioned (octree/bvh: sharded
 \t\tbodies + distributed sort, O(n/S) per device)
 --chunk N\t\tRow-chunk size for the jnp fallback kernels
 --fix-collapsed-z\t\tFix the reference's frozen-z quirk in all-pairs-collapsed

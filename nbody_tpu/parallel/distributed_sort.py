@@ -89,10 +89,19 @@ def _one_phase(keys, cols, idx, nl, n_shards, parity, axis_name):
     kth = jax.lax.ppermute(kmat, axis_name, pairs)
     cth = jax.lax.ppermute(cmat, axis_name, pairs)
 
-    mk = [jnp.concatenate([keys[j], kth[:, j]]) for j in range(num_keys)]
-    mc = [jnp.concatenate([cols[j], cth[:, j]]) for j in range(len(cols))]
-    mk, mc = _merge_sorted(mk, mc, num_keys)
+    # CANONICAL concat order (lower shard's block first on BOTH sides):
+    # with ties, the stable merge resolves by input position, so the two
+    # sides must sort the IDENTICAL sequence or their kept halves do not
+    # partition the union -- [mine, theirs] silently duplicated/dropped
+    # tied rows (caught by the mass-multiset regression test)
     keep_low = idx < partner
+    mk = [jnp.concatenate([jnp.where(keep_low, keys[j], kth[:, j]),
+                           jnp.where(keep_low, kth[:, j], keys[j])])
+          for j in range(num_keys)]
+    mc = [jnp.concatenate([jnp.where(keep_low, cols[j], cth[:, j]),
+                           jnp.where(keep_low, cth[:, j], cols[j])])
+          for j in range(len(cols))]
+    mk, mc = _merge_sorted(mk, mc, num_keys)
     sel = jnp.where(keep_low, 0, nl)
     new_keys = [jax.lax.dynamic_slice_in_dim(kk, sel, nl) for kk in mk]
     new_cols = [jax.lax.dynamic_slice_in_dim(cc, sel, nl) for cc in mc]

@@ -1,4 +1,4 @@
-"""Partitioned Barnes-Hut octree: sharded bodies, distributed sort,
+"""Partitioned Barnes-Hut trees: sharded bodies, distributed sort,
 replicated COARSE heap, halo-exact near field -- the weak-scaling layout.
 
 The replicated-tree engines (parallel/tree_sharded.py) are 1/S only in
@@ -9,10 +9,13 @@ where C is the coarse cell count, so n can grow with the mesh.
 
 Layout per step (all inside one shard_map over the 1-D body mesh):
 
-  sort    bodies live sharded; a cross-shard Morton sort
+  sort    bodies live sharded; a cross-shard Morton/Hilbert sort
           (parallel/distributed_sort.py) gives every shard a CONTIGUOUS
-          range of the global Morton order -- shard boundaries are
-          spatial boundaries;
+          range of the global curve order -- shard boundaries are
+          spatial boundaries.  Pad rows sort with a MAJOR pad flag so
+          they land at the global tail (their duplicated-position key
+          would otherwise sit mid-stream and the final [:nreal] slice
+          would drop REAL bodies while keeping zero-mass clones);
   heap    one global coarse heap, levels 0..L_top (count, mass, m*x,
           extents per cell): each shard scatter-adds its own bodies and
           ONE psum replicates the result -- O(C) data, C <= 2^14 cells;
@@ -21,38 +24,40 @@ Layout per step (all inside one shard_map over the 1-D body mesh):
           width, tile-bbox dmin, octree_group.py:770-800) -- evaluated
           from the REPLICATED heap, no remote body data needed;
   near    cells still open at L_top are spatially near the evaluating
-          tile; with Morton ownership their bodies live on the same or
-          Morton-adjacent shards.  Each shard ppermutes the body blocks
+          tile; with curve ownership their bodies live on the same or
+          curve-adjacent shards.  Each shard ppermutes the body blocks
           of its +-halo neighbours into an extended window E of
           (2*halo + 1) * n/S rows and evaluates the cell-snapped row
           interval [lo_t, hi_t) EXACTLY against its own rows (the
           snapping mirrors octree_group's window partition, so every
           (body, source) pair is counted exactly once);
-  beyond  open L_top cells OUTSIDE the halo interval (Morton seams,
-          extreme density contrast) are approximated by their L_top
-          monopole and COUNTED (aux: beyond_halo cells, beyond_mass).
-          This is the one place the skeleton is weaker than the
-          replicated path: a failed-MAC monopole is accepted.  The
-          production completion (designed, not yet built -- see
-          docs/DISTRIBUTED_TREES.md) routes those cells' body blocks
-          through a ring pass like parallel/ring.py, restoring the
-          conservative never-less-accurate guarantee.
+  beyond  open L_top cells OUTSIDE the halo interval (curve seams,
+          extreme density contrast, cells wider than the halo) are
+          evaluated EXACTLY by a masked ring pass (the parallel/ring.py
+          structure; lax.cond skips rotations with no targets), so the
+          fast paths' conservative never-less-accurate guarantee holds
+          everywhere and theta=0 reproduces the direct sum.  The
+          beyond set is COUNTED (aux: beyond_halo_cells/_mass): high
+          counts mean the ring pass is doing O(n^2/S)-ish work and the
+          halo/L_top sizing is off.  The production optimization
+          (entry-compacted exchange moving only the requested blocks)
+          is designed in docs/DISTRIBUTED_TREES.md, not yet built.
 
-The force math replicates the reference octree semantics ((sqrt(d2) +
-eps)^3 softening, octree.h:236-247); the traversal is this rebuild's own
-design (the reference is single-device).
+Two variants share the machinery below: the OCTREE (Morton cells,
+(sqrt(d2)+eps)^3 softening, octree.h:236-247; cell row ranges come from
+psum'd counts and the halo interval snaps to cell boundaries) and the
+implicit BVH (Hilbert order, d2^1.5+eps softening, bvh.h:297; node row
+ranges are fixed arithmetic -- row >> level shift -- so no snapping and
+no key transport in the ring pass).
 
 This module favours clarity over peak throughput: the far/near
-evaluations are dense jnp contractions (fine on the 8-device CPU mesh
-and for dryrun validation; the production path would reuse the
-masked-bits / windowed Pallas kernels, which take the same mask/interval
-inputs).
+evaluations are dense jnp contractions chunked per tile with lax.map
+(fine on the 8-device CPU mesh and for dryrun validation; the production
+path would reuse the masked-bits / windowed Pallas kernels, which take
+the same mask/interval inputs).
 """
 
 from __future__ import annotations
-
-import dataclasses
-from functools import partial
 
 import jax
 import jax.numpy as jnp
@@ -83,12 +88,10 @@ def _coarse_level(n: int, dim: int, cap_cells: int = 1 << 14) -> int:
     replicated heap stays O(2^14) cells.  DEEPER than the single-chip
     fast path's occupancy heuristic on purpose: an L_top cell that holds
     more bodies than the halo window cannot be evaluated exactly and
-    falls into the beyond-halo monopole approximation -- at a tile's OWN
-    position that is catastrophic (measured: a 4-cluster system at
-    L_top=3 put half the total mass beyond-halo, rel err 1.4; at ~16
-    bodies/cell the same system evaluates at 0.8% like the uniform
-    case).  Dense cores still concentrate mass, so the halo width and
-    the beyond_halo_* diagnostics remain the honest guardrail."""
+    falls into the beyond-halo ring pass -- at a tile's OWN position
+    that means O(n^2/S) work (and, before the ring pass existed, a 1.4
+    rel. error from monopole-approximating half the total mass of a
+    4-cluster system at L_top=3)."""
     nbranch = 1 << dim
     l = 1
     while (nbranch ** (l + 1)) <= cap_cells and (nbranch ** l) * 16 < n * 4:
@@ -96,508 +99,197 @@ def _coarse_level(n: int, dim: int, cap_cells: int = 1 << 14) -> int:
     return l
 
 
-def make_partitioned_bvh_step(cfg: SimConfig, n_shards: int,
-                              mesh: Mesh | None = None,
-                              tile: int = 256, halo: int = 1,
-                              l_top: int | None = None):
-    """Partitioned implicit-BVH step (the BVH variant promised in
-    docs/DISTRIBUTED_TREES.md).  Same layout as the octree version --
-    distributed sort, one-psum coarse heap, halo-exact near field,
-    ring-exact beyond field -- but STRUCTURALLY SIMPLER: implicit-BVH
-    nodes are fixed row ranges (node j at level l covers rows
-    [j * 2^(k-l), (j+1) * 2^(k-l)) of the padded power-of-two stream,
-    bvh.h:98-127 semantics), so the halo interval needs no cell
-    snapping: shard-block boundaries ARE node boundaries whenever the
-    L_top node size divides n/S.  Per-pair math is the BVH softening
-    (d2^1.5 + eps, bvh.h:297).  fp32/f64; requires n_shards and tile to
-    be powers of two."""
-    if mesh is None:
-        mesh = body_mesh(n_shards)
-    from nbody_tpu.ops.hilbert import hilbert_key_u32pair, quantize
+# --------------------------------------------------------------- shared
+# machinery for both partitioned variants (each helper runs INSIDE the
+# shard_map body)
 
-    dim, n = cfg.dim, cfg.n
-    theta, G, eps = float(cfg.theta), float(cfg.G), cfg.eps
-    dtype = np.dtype(cfg.dtype).type
-    theta2 = jnp.asarray(theta * theta, dtype)
+def _sort_state(key_words, m_l, x_l, v_l, a_l, ao_l, nreal, idx, nl,
+                n_shards, dim):
+    """Distributed sort of the full body state by (pad_flag, *key_words):
+    the flag is MAJOR, so post-sort pads are exactly global rows >= nreal
+    and every pad test downstream is pure row arithmetic.  Returns
+    (sorted key words without the flag, m, x, v, a, ao)."""
+    grow_in = idx * nl + jnp.arange(nl, dtype=jnp.int32)
+    pad_flag = (grow_in >= nreal).astype(jnp.uint32)
+    cols = ([m_l] + [x_l[:, d] for d in range(dim)]
+            + [v_l[:, d] for d in range(dim)]
+            + [a_l[:, d] for d in range(dim)]
+            + [ao_l[:, d] for d in range(dim)])
+    keys, cols = distributed_sort_rows([pad_flag] + list(key_words), cols,
+                                       BODY_AXIS, n_shards)
+    m_l = cols[0]
+    x_l = jnp.stack(cols[1:1 + dim], axis=1)
+    v_l = jnp.stack(cols[1 + dim:1 + 2 * dim], axis=1)
+    a_l = jnp.stack(cols[1 + 2 * dim:1 + 3 * dim], axis=1)
+    ao_l = jnp.stack(cols[1 + 3 * dim:1 + 4 * dim], axis=1)
+    return keys[1:], m_l, x_l, v_l, a_l, ao_l
 
-    k = max(1, (max(n, 2) - 1).bit_length())       # npad = 2^k
-    npad = 1 << k
-    while npad % (n_shards * tile):
-        npad *= 2
-        k += 1
-    nl = npad // n_shards
-    ntiles_l = nl // tile
-    halo_w = (2 * halo + 1) * nl
-    # L_top: ~16 bodies per node, <= 2^14 nodes, node size divides nl
-    L = l_top if l_top is not None else max(1, min(k - 4, 14))
-    L = min(L, k, (nl - 1).bit_length())
-    S2 = 1 << (k - L)                              # bodies per L_top node
-    assert nl % S2 == 0
 
-    def shard_fn(m_l, x_l, v_l, a_l, ao_l, lo, hi, nreal):
-        idx = jax.lax.axis_index(BODY_AXIS)
+def _psum_heap(index, m_l, x_l, C, nbranch, dim, dtype, L):
+    """Replicated coarse heap via ONE psum: scatter this shard's rows
+    (index may be OOB == C for pad rows: OOB scatter updates drop), pool
+    levels 0..L by reshape.  Returns per-level (cnt, mass, mx, cmin,
+    cmax) lists, index 0 = root."""
+    cnt = jnp.zeros((C,), jnp.int32).at[index].add(1)
+    mass = jnp.zeros((C,), dtype).at[index].add(m_l)
+    mx = jnp.zeros((C, dim), dtype).at[index].add(m_l[:, None] * x_l)
+    big = jnp.asarray(np.finfo(dtype).max, dtype)
+    cmin = jnp.full((C, dim), big, dtype).at[index].min(x_l)
+    cmax = jnp.full((C, dim), -big, dtype).at[index].max(x_l)
+    cnt, mass, mx = (jax.lax.psum(v, BODY_AXIS) for v in (cnt, mass, mx))
+    cmin = jax.lax.pmin(cmin, BODY_AXIS)
+    cmax = jax.lax.pmax(cmax, BODY_AXIS)
 
-        # ---- distributed Hilbert sort ((hi, lo) u32 keys with a MAJOR
-        # pad flag: post-sort pads are exactly the global rows >= nreal,
-        # so [:nreal] keeps every real body) ---------------------------
-        cell = quantize(x_l, lo, hi - lo, dim)
-        khi, klo = hilbert_key_u32pair(cell, dim, true_curve=(dim == 3))
-        grow_in = idx * nl + jnp.arange(nl, dtype=jnp.int32)
-        pad_flag = (grow_in >= nreal).astype(jnp.uint32)
-        cols = ([m_l] + [x_l[:, d] for d in range(dim)]
-                + [v_l[:, d] for d in range(dim)]
-                + [a_l[:, d] for d in range(dim)]
-                + [ao_l[:, d] for d in range(dim)])
-        (_, khi, klo), cols = distributed_sort_rows(
-            [pad_flag, khi, klo], cols, BODY_AXIS, n_shards)
-        m_l = cols[0]
-        x_l = jnp.stack(cols[1:1 + dim], axis=1)
-        v_l = jnp.stack(cols[1 + dim:1 + 2 * dim], axis=1)
-        a_l = jnp.stack(cols[1 + 2 * dim:1 + 3 * dim], axis=1)
-        ao_l = jnp.stack(cols[1 + 3 * dim:1 + 4 * dim], axis=1)
+    lvl = {"cnt": [cnt], "mass": [mass], "mx": [mx],
+           "cmin": [cmin], "cmax": [cmax]}
+    for _ in range(L):
+        lvl["cnt"].insert(0, lvl["cnt"][0].reshape(-1, nbranch).sum(1))
+        lvl["mass"].insert(0, lvl["mass"][0].reshape(-1, nbranch).sum(1))
+        lvl["mx"].insert(0, lvl["mx"][0].reshape(-1, nbranch, dim).sum(1))
+        lvl["cmin"].insert(0,
+                           lvl["cmin"][0].reshape(-1, nbranch, dim).min(1))
+        lvl["cmax"].insert(0,
+                           lvl["cmax"][0].reshape(-1, nbranch, dim).max(1))
+    return lvl
 
-        # ---- replicated coarse heap (levels 0..L) via ONE psum -------
-        grow = idx * nl + jnp.arange(nl, dtype=jnp.int32)
-        node = grow >> (k - L)
-        real = grow < nreal
-        C = 1 << L
-        cnt = jnp.zeros((C,), jnp.int32).at[node].add(real.astype(jnp.int32))
-        mass = jnp.zeros((C,), dtype).at[node].add(m_l)
-        mx = jnp.zeros((C, dim), dtype).at[node].add(m_l[:, None] * x_l)
-        big = jnp.asarray(np.finfo(dtype).max, dtype)
-        # pads excluded from node bounding boxes (their duplicated input
-        # position is arbitrary once the flag-major sort moved them)
-        cmin = jnp.full((C, dim), big, dtype).at[node].min(
-            jnp.where(real[:, None], x_l, big))
-        cmax = jnp.full((C, dim), -big, dtype).at[node].max(
-            jnp.where(real[:, None], x_l, -big))
-        cnt, mass, mx = (jax.lax.psum(v, BODY_AXIS) for v in (cnt, mass, mx))
-        cmin = jax.lax.pmin(cmin, BODY_AXIS)
-        cmax = jax.lax.pmax(cmax, BODY_AXIS)
 
-        lvl_cnt, lvl_mass, lvl_mx = [cnt], [mass], [mx]
-        lvl_cmin, lvl_cmax = [cmin], [cmax]
-        for _ in range(L):
-            lvl_cnt.insert(0, lvl_cnt[0].reshape(-1, 2).sum(1))
-            lvl_mass.insert(0, lvl_mass[0].reshape(-1, 2).sum(1))
-            lvl_mx.insert(0, lvl_mx[0].reshape(-1, 2, dim).sum(1))
-            lvl_cmin.insert(0, lvl_cmin[0].reshape(-1, 2, dim).min(1))
-            lvl_cmax.insert(0, lvl_cmax[0].reshape(-1, 2, dim).max(1))
-
-        # ---- halo window (node-aligned: S2 | nl, no snapping) --------
-        parts_m, parts_x = [], []
+def _halo_window(arrays, idx, halo, n_shards):
+    """ppermute the +-halo neighbour blocks of each array and concatenate
+    into the extended window E.  Missing edge neighbours arrive
+    zero-filled: mass 0 == force-invisible."""
+    outs = []
+    for arr in arrays:
+        parts = []
         for h in range(-halo, halo + 1):
             if h == 0:
-                parts_m.append(m_l)
-                parts_x.append(x_l)
+                parts.append(arr)
                 continue
             perm = [(s, s - h) for s in range(n_shards)
                     if 0 <= s - h < n_shards]
-            parts_m.append(jax.lax.ppermute(m_l, BODY_AXIS, perm))
-            parts_x.append(jax.lax.ppermute(x_l, BODY_AXIS, perm))
-        m_e = jnp.concatenate(parts_m)
-        x_e = jnp.concatenate(parts_x)
-        e0 = (idx - halo) * nl
-        r0 = jnp.maximum(0, e0)
-        r1 = jnp.minimum(npad, (idx + halo + 1) * nl)
+            parts.append(jax.lax.ppermute(arr, BODY_AXIS, perm))
+        outs.append(jnp.concatenate(parts))
+    return outs
 
-        # ---- far field: conservative group MAC (bw = true extent) ----
-        xt = x_l.reshape(ntiles_l, tile, dim)
-        tmin = jnp.min(xt, axis=1)
-        tmax = jnp.max(xt, axis=1)
-        epsv = jnp.asarray(eps, dtype)
 
-        accepts, coms, masses = [], [], []
-        open_mask = jnp.ones((ntiles_l, 1), jnp.bool_)
-        for l in range(L + 1):
-            cl, msl = lvl_cnt[l], lvl_mass[l]
-            com = lvl_mx[l] / jnp.maximum(
-                msl, jnp.asarray(1e-30, dtype))[:, None]
-            alive = (cl > 0)[None, :]
-            dmin_v = jnp.maximum(tmin[:, None, :] - com[None, :, :], 0.0)
-            dmin_v = jnp.maximum(dmin_v, com[None, :, :] - tmax[:, None, :])
-            dmin2 = jnp.sum(dmin_v * dmin_v, axis=-1)
-            width = jnp.max(lvl_cmax[l] - lvl_cmin[l], axis=-1)
-            weff = jnp.where(cl > 0, width, 0.0)[None, :]
-            single = (cl == 1)[None, :]
-            span = 1 << (k - l)
-            lstart = (jnp.arange(1 << l, dtype=jnp.int32) * span)[None, :]
-            lend = lstart + span
-            inside = (lstart >= r0) & (lend <= r1)
-            overlap = (lstart < r1) & (lend > r0)
-            partial_w = overlap & ~inside
-            mac = ((weff * weff < theta2 * dmin2) | single) & ~partial_w
-            accept = open_mask & alive & mac & ~inside
-            open_ = open_mask & alive & ~mac & ~inside
-            if l == L:
-                beyond_open = open_
-                beyond_cells = jnp.sum(open_, dtype=jnp.int32)
-                beyond_mass = jnp.sum(
-                    jnp.where(jnp.any(open_, axis=0), msl, 0.0))
-            accepts.append(accept)
-            coms.append(com)
-            masses.append(msl)
-            if l < L:
-                open_mask = jnp.repeat(open_, 2, axis=1)
+def _mac_concat(lvl, xt, range_fn, lo_t, hi_t, theta2, nbranch, L, dtype):
+    """Per-level conservative group MAC over the pooled heap.  range_fn(l)
+    -> (lstart, lend) global row ranges of level-l nodes ((1, W_l) each).
+    Window partition per level: nodes fully inside [lo_t, hi_t) are
+    DROPPED (the near field evaluates them exactly); straddling nodes are
+    forced open; the rest take the MAC.  Returns the concatenated accept
+    mask/heap plus the beyond-halo open set at L and its diagnostics."""
+    tmin = jnp.min(xt, axis=1)
+    tmax = jnp.max(xt, axis=1)
+    ntiles_l = xt.shape[0]
+    accepts, coms, masses = [], [], []
+    open_mask = jnp.ones((ntiles_l, 1), jnp.bool_)
+    beyond = None
+    for l in range(L + 1):
+        cl, msl = lvl["cnt"][l], lvl["mass"][l]
+        com = lvl["mx"][l] / jnp.maximum(
+            msl, jnp.asarray(1e-30, dtype))[:, None]
+        alive = (cl > 0)[None, :]
+        dmin_v = jnp.maximum(tmin[:, None, :] - com[None, :, :], 0.0)
+        dmin_v = jnp.maximum(dmin_v, com[None, :, :] - tmax[:, None, :])
+        dmin2 = jnp.sum(dmin_v * dmin_v, axis=-1)
+        width = jnp.max(lvl["cmax"][l] - lvl["cmin"][l], axis=-1)
+        weff = jnp.where(cl > 0, width, 0.0)[None, :]
+        single = (cl == 1)[None, :]
+        lstart, lend = range_fn(l)
+        inside = (lstart >= lo_t) & (lend <= hi_t)
+        overlap = (lstart < hi_t) & (lend > lo_t)
+        partial_w = overlap & ~inside
+        mac = ((weff * weff < theta2 * dmin2) | single) & ~partial_w
+        accept = open_mask & alive & mac & ~inside
+        open_ = open_mask & alive & ~mac & ~inside
+        if l == L:
+            beyond = open_
+            beyond_cells = jnp.sum(open_, dtype=jnp.int32)
+            beyond_mass = jnp.sum(
+                jnp.where(jnp.any(open_, axis=0), msl, 0.0))
+        accepts.append(accept)
+        coms.append(com)
+        masses.append(msl)
+        if l < L:
+            open_mask = jnp.repeat(open_, nbranch, axis=1)
+    acc_all = jnp.concatenate(accepts, axis=1)      # (T, W_all)
+    com_all = jnp.concatenate(coms, axis=0)         # (W_all, dim)
+    ms_all = jnp.concatenate(masses, axis=0)        # (W_all,)
+    return acc_all, com_all, ms_all, beyond, beyond_cells, beyond_mass
 
-        acc_all = jnp.concatenate(accepts, axis=1)
-        com_all = jnp.concatenate(coms, axis=0)
-        ms_all = jnp.concatenate(masses, axis=0)
 
-        def _soften(d2):
-            # BVH per-pair math: dist3 = d2^1.5 + eps (bvh.h:297)
-            return d2 * jnp.sqrt(d2) + epsv
+def _eval_far(xt, acc_all, com_all, ms_all, soften, nl, dim):
+    """Masked monopole evaluation, chunked per tile with lax.map so
+    temporaries stay at (tile, W_all) (production: the bit-packed mask
+    shape masked_eval_bits_pallas takes)."""
+    def _far_tile(args):
+        xtb, am = args
+        dxf = com_all[None, :, :] - xtb[:, None, :]
+        d2f = jnp.sum(dxf * dxf, axis=-1)
+        wf = jnp.where(am[None, :], ms_all[None, :] / soften(d2f), 0.0)
+        return jnp.einsum("bw,bwd->bd", wf, dxf)
 
-        def _far_tile(args):
-            xtb, am = args
-            dxf = com_all[None, :, :] - xtb[:, None, :]
-            d2f = jnp.sum(dxf * dxf, axis=-1)
-            wf = jnp.where(am[None, :], ms_all[None, :] / _soften(d2f), 0.0)
-            return jnp.einsum("bw,bwd->bd", wf, dxf)
+    return jax.lax.map(_far_tile, (xt, acc_all)).reshape(nl, dim)
 
-        far = jax.lax.map(_far_tile, (xt, acc_all)).reshape(nl, dim)
 
-        # ---- near field: exact vs the halo interval ------------------
-        jrow = e0 + jnp.arange(halo_w, dtype=jnp.int32)
-        mj = jnp.where((jrow >= r0) & (jrow < r1), m_e, 0.0)
+def _eval_near(xt, x_e, mj, soften, nl, dim):
+    """Exact evaluation vs the masked halo window (self-pair contributes
+    zero through the 0/soften numerator, the reference's self-skip)."""
+    def _near_tile(xtb):
+        dxn = x_e[None, :, :] - xtb[:, None, :]
+        d2n = jnp.sum(dxn * dxn, axis=-1)
+        wn = mj[None, :] / soften(d2n)
+        return jnp.einsum("bj,bjd->bd", wn, dxn)
 
-        def _near_tile(xtb):
-            dxn = x_e[None, :, :] - xtb[:, None, :]
-            d2n = jnp.sum(dxn * dxn, axis=-1)
-            wn = mj[None, :] / _soften(d2n)   # self-pair: 0/eps -> 0
-            return jnp.einsum("bj,bjd->bd", wn, dxn)
+    return jax.lax.map(_near_tile, xt).reshape(nl, dim)
 
-        near = jax.lax.map(_near_tile, xt).reshape(nl, dim)
 
-        # ---- beyond-halo ring pass (node-of-row is pure arithmetic) --
-        ring = jnp.zeros((nl, dim), dtype)
-        mv, xv = m_l, x_l
-        perm = [(s, (s + 1) % n_shards) for s in range(n_shards)]
-        for r in range(n_shards):
-            src = (idx - r) % n_shards
-            node_v = (src * nl
-                      + jnp.arange(nl, dtype=jnp.int32)) >> (k - L)
-            bmask = jnp.take(beyond_open, node_v, axis=1)     # (T, nl)
+def _ring_beyond(xt, beyond_open, m_l, x_l, extras, cell_of_visitor,
+                 soften, idx, nl, dim, dtype, n_shards):
+    """Exact bodies of beyond-halo open cells via a block ring: every
+    shard's (m, x, *extras) rotates; rotation r's visitor is shard
+    (idx - r)'s block, masked to rows whose cell is beyond-open for the
+    local tile.  Beyond cells lie outside the snapped near interval by
+    construction, so no pair is double counted; lax.cond skips rotations
+    with no targets.  cell_of_visitor(r, rotated_extras) -> (nl,) ids."""
+    ring = jnp.zeros((nl, dim), dtype)
+    mv, xv = m_l, x_l
+    ev = list(extras)
+    perm = [(s, (s + 1) % n_shards) for s in range(n_shards)]
+    for r in range(n_shards):
+        cell_v = cell_of_visitor(r, ev)
+        bmask = jnp.take(beyond_open, cell_v, axis=1)        # (T, nl)
 
-            def _eval(xv_, mv_, bm_):
-                def _ring_tile(args):
-                    xtb, bmt = args
-                    dxr = xv_[None, :, :] - xtb[:, None, :]
-                    d2r = jnp.sum(dxr * dxr, axis=-1)
-                    wr = jnp.where(bmt[None, :],
-                                   mv_[None, :] / _soften(d2r), 0.0)
-                    return jnp.einsum("bj,bjd->bd", wr, dxr)
+        def _eval(xv_, mv_, bm_):
+            def _ring_tile(args):
+                xtb, bmt = args
+                dxr = xv_[None, :, :] - xtb[:, None, :]
+                d2r = jnp.sum(dxr * dxr, axis=-1)
+                wr = jnp.where(bmt[None, :],
+                               mv_[None, :] / soften(d2r), 0.0)
+                return jnp.einsum("bj,bjd->bd", wr, dxr)
 
-                return jax.lax.map(_ring_tile, (xt, bm_)).reshape(nl, dim)
+            return jax.lax.map(_ring_tile, (xt, bm_)).reshape(nl, dim)
 
-            ring = ring + jax.lax.cond(
-                jnp.any(bmask), _eval,
-                lambda *_: jnp.zeros((nl, dim), dtype),
-                xv, mv, bmask)
-            if r + 1 < n_shards:
-                mv = jax.lax.ppermute(mv, BODY_AXIS, perm)
-                xv = jax.lax.ppermute(xv, BODY_AXIS, perm)
+        ring = ring + jax.lax.cond(
+            jnp.any(bmask), _eval,
+            lambda *_: jnp.zeros((nl, dim), dtype),
+            xv, mv, bmask)
+        if r + 1 < n_shards:
+            mv = jax.lax.ppermute(mv, BODY_AXIS, perm)
+            xv = jax.lax.ppermute(xv, BODY_AXIS, perm)
+            ev = [jax.lax.ppermute(e, BODY_AXIS, perm) for e in ev]
+    return ring
 
-        acc = jnp.asarray(G, dtype) * (far + near + ring)
-        beyond_cells = jax.lax.psum(beyond_cells, BODY_AXIS)
-        beyond_mass = jax.lax.pmax(beyond_mass, BODY_AXIS)
-        return (m_l, x_l, v_l, a_l, ao_l, acc, beyond_cells, beyond_mass,
-                lvl_mass[0][0])
 
-    mapped = _shard_map(
-        shard_fn, mesh,
-        in_specs=(P(BODY_AXIS),) + (P(BODY_AXIS, None),) * 4
-        + (P(), P(), P()),
-        out_specs=((P(BODY_AXIS),) + (P(BODY_AXIS, None),) * 4
-                   + (P(BODY_AXIS, None), P(), P(), P())),
-    )
-
+def _make_step(cfg, mapped, npad):
+    """Pad-and-jit wrapper shared by both variants: pad bodies to npad
+    (zero mass + duplicated last position; the flag-major sort moves
+    them to the global tail), run the shard_map'd force, slice the real
+    rows back, leapfrog."""
     from nbody_tpu.ops.integrator import leapfrog_step
 
-    @jax.jit
-    def step(state: SystemState, k_step=None):
-        nreal = state.x.shape[0]
-        pad = npad - nreal
-        if pad:
-            mp = jnp.concatenate([state.m, jnp.zeros((pad,), state.m.dtype)])
-            dup = jnp.broadcast_to(state.x[-1], (pad, dim))
-            xp = jnp.concatenate([state.x, dup])
-            zp = jnp.zeros((pad, dim), state.x.dtype)
-            vp = jnp.concatenate([state.v, zp])
-            ap = jnp.concatenate([state.a, zp])
-            aop = jnp.concatenate([state.ao, zp])
-        else:
-            mp, xp, vp, ap, aop = (state.m, state.x, state.v, state.a,
-                                   state.ao)
-        lo = jnp.min(state.x, axis=0)
-        hi = jnp.max(state.x, axis=0)
-        m2, x2, v2, _a2, ao2, acc, bc, bm, root_mass = mapped(
-            mp, xp, vp, ap, aop, lo, hi, jnp.asarray(nreal, jnp.int32))
-        st = SystemState(m=m2[:nreal], x=x2[:nreal], v=v2[:nreal],
-                         a=acc[:nreal], ao=ao2[:nreal])
-        aux = {"beyond_halo_cells": bc, "beyond_halo_mass": bm,
-               "root_mass": root_mass}
-        return leapfrog_step(st, cfg.dt), aux
-
-    return step
-
-
-def make_partitioned_octree_step(cfg: SimConfig, n_shards: int,
-                                 mesh: Mesh | None = None,
-                                 tile: int = 256, halo: int = 1,
-                                 l_top: int | None = None):
-    """Jitted full leapfrog step over globally-sharded body arrays.
-
-    Returns step(state) -> (state, aux); state arrays are global-view
-    (n, ...) jax.Arrays sharded over the body mesh; the returned state is
-    in the NEW Morton order (the sort happens inside, exactly like the
-    single-chip tree engines re-sort every step).  aux carries the
-    beyond-halo diagnostics and the root mass."""
-    if mesh is None:
-        mesh = body_mesh(n_shards)
-    from nbody_tpu.ops.octree import max_depth, morton_keys
-
-    dim, n = cfg.dim, cfg.n
-    theta, G, eps = float(cfg.theta), float(cfg.G), cfg.eps
-    dtype = np.dtype(cfg.dtype).type
-    depth = max_depth(n, dim)
-    nbranch = 1 << dim
-    L = l_top if l_top is not None else _coarse_level(n, dim)
-    L = min(L, depth)
-    C = nbranch ** L
-    theta2 = jnp.asarray(theta * theta, dtype)
-
-    npad = _round_up(n, n_shards * tile)
-    nl = npad // n_shards
-    ntiles_l = nl // tile
-    halo_w = (2 * halo + 1) * nl
-
-    def shard_fn(m_l, x_l, v_l, a_l, ao_l, lo, hi, nreal):
-        idx = jax.lax.axis_index(BODY_AXIS)
-
-        # ---- distributed Morton sort (payload = full body state) ------
-        # Pad rows sort with a MAJOR pad flag: their duplicated-position
-        # key would otherwise land them mid-stream among equal keys and
-        # the final [:nreal] slice would drop REAL bodies while keeping
-        # zero-mass clones.  With the flag major, post-sort pads are
-        # exactly the global rows >= nreal -- every pad test below is
-        # pure row arithmetic.
-        keys = morton_keys(x_l, lo, hi, depth)
-        grow_in = idx * nl + jnp.arange(nl, dtype=jnp.int32)
-        pad_flag = (grow_in >= nreal).astype(jnp.uint32)
-        cols = ([m_l] + [x_l[:, d] for d in range(dim)]
-                + [v_l[:, d] for d in range(dim)]
-                + [a_l[:, d] for d in range(dim)]
-                + [ao_l[:, d] for d in range(dim)])
-        (_, keys), cols = distributed_sort_rows([pad_flag, keys], cols,
-                                                BODY_AXIS, n_shards)
-        grow = idx * nl + jnp.arange(nl, dtype=jnp.int32)
-        is_pad = grow >= nreal
-        m_l = cols[0]
-        x_l = jnp.stack(cols[1:1 + dim], axis=1)
-        v_l = jnp.stack(cols[1 + dim:1 + 2 * dim], axis=1)
-        a_l = jnp.stack(cols[1 + 2 * dim:1 + 3 * dim], axis=1)
-        ao_l = jnp.stack(cols[1 + 3 * dim:1 + 4 * dim], axis=1)
-
-        # ---- replicated coarse heap via ONE psum ----------------------
-        # pads scatter to the out-of-range cell C: dropped (OOB scatter)
-        cell = jnp.where(
-            is_pad, jnp.int32(C),
-            (keys >> jnp.uint32((depth - L) * dim)).astype(jnp.int32))
-        cnt = jnp.zeros((C,), jnp.int32).at[cell].add(1)
-        mass = jnp.zeros((C,), dtype).at[cell].add(m_l)
-        mx = jnp.zeros((C, dim), dtype).at[cell].add(m_l[:, None] * x_l)
-        big = jnp.asarray(np.finfo(dtype).max, dtype)
-        cmin = jnp.full((C, dim), big, dtype).at[cell].min(x_l)
-        cmax = jnp.full((C, dim), -big, dtype).at[cell].max(x_l)
-        cnt, mass, mx = (jax.lax.psum(v, BODY_AXIS) for v in (cnt, mass, mx))
-        cmin = jax.lax.pmin(cmin, BODY_AXIS)
-        cmax = jax.lax.pmax(cmax, BODY_AXIS)
-
-        lvl_cnt, lvl_mass, lvl_mx = [cnt], [mass], [mx]
-        lvl_cmin, lvl_cmax = [cmin], [cmax]
-        for _ in range(L):
-            lvl_cnt.insert(0, lvl_cnt[0].reshape(-1, nbranch).sum(1))
-            lvl_mass.insert(0, lvl_mass[0].reshape(-1, nbranch).sum(1))
-            lvl_mx.insert(0, lvl_mx[0].reshape(-1, nbranch, dim).sum(1))
-            lvl_cmin.insert(0, lvl_cmin[0].reshape(-1, nbranch, dim).min(1))
-            lvl_cmax.insert(0, lvl_cmax[0].reshape(-1, nbranch, dim).max(1))
-
-        # global L_top row ranges (cells are contiguous in the sorted
-        # order): starts/ends from the psum'd counts.  Sentinel row C is
-        # the pad tail [nreal, npad).
-        ce_arr = jnp.cumsum(cnt)
-        cs_arr = ce_arr - cnt
-        cs_arr = jnp.concatenate([cs_arr, nreal[None]])
-        ce_arr = jnp.concatenate([ce_arr, jnp.asarray([npad], jnp.int32)])
-
-        # ---- halo window E (2*halo+1 shard blocks) --------------------
-        parts_m, parts_x, parts_k = [], [], []
-        for h in range(-halo, halo + 1):
-            if h == 0:
-                parts_m.append(m_l)
-                parts_x.append(x_l)
-                parts_k.append(keys)
-                continue
-            # shift blocks by h: shard i receives shard i+h's block
-            perm = [(s, s - h) for s in range(n_shards)
-                    if 0 <= s - h < n_shards]
-            parts_m.append(jax.lax.ppermute(m_l, BODY_AXIS, perm))
-            parts_x.append(jax.lax.ppermute(x_l, BODY_AXIS, perm))
-            parts_k.append(jax.lax.ppermute(keys, BODY_AXIS, perm))
-        m_e = jnp.concatenate(parts_m)        # missing neighbours arrive
-        x_e = jnp.concatenate(parts_x)        # zero-filled: mass 0 ==
-        k_e = jnp.concatenate(parts_k)        # force-invisible
-        e0 = (idx - halo) * nl                # global row of E[0]
-
-        # cell-snapped exact interval [lo_t, hi_t): the near field must
-        # cover whole cells so the far field can drop them cleanly
-        # (octree_group.py window partition)
-        r0 = jnp.maximum(0, e0)
-        r1 = jnp.minimum(npad, (idx + halo + 1) * nl)
-        jrow_e = e0 + jnp.arange(halo_w, dtype=jnp.int32)
-        cell_e = jnp.where(
-            jrow_e >= nreal, jnp.int32(C),
-            (k_e >> jnp.uint32((depth - L) * dim)).astype(jnp.int32))
-        c0 = cell_e[r0 - e0]
-        c1 = cell_e[r1 - 1 - e0]
-        lo_t = jnp.where(cs_arr[c0] == r0, r0, ce_arr[c0])
-        hi_t = jnp.where(ce_arr[c1] == r1, r1, cs_arr[c1])
-        hi_t = jnp.maximum(hi_t, lo_t)
-
-        # ---- far field: dense per-level conservative group MAC --------
-        xt = x_l.reshape(ntiles_l, tile, dim)
-        tmin = jnp.min(xt, axis=1)
-        tmax = jnp.max(xt, axis=1)
-        epsv = jnp.asarray(eps, dtype)
-        beyond_cells = jnp.zeros((), jnp.int32)
-        beyond_mass = jnp.zeros((), dtype)
-
-        accepts, coms, masses = [], [], []
-        open_mask = jnp.ones((ntiles_l, 1), jnp.bool_)
-        for l in range(L + 1):
-            cl, msl = lvl_cnt[l], lvl_mass[l]
-            com = lvl_mx[l] / jnp.maximum(
-                msl, jnp.asarray(1e-30, dtype))[:, None]
-            alive = (cl > 0)[None, :]
-            dmin_v = jnp.maximum(tmin[:, None, :] - com[None, :, :], 0.0)
-            dmin_v = jnp.maximum(dmin_v, com[None, :, :] - tmax[:, None, :])
-            dmin2 = jnp.sum(dmin_v * dmin_v, axis=-1)
-            width = jnp.max(lvl_cmax[l] - lvl_cmin[l], axis=-1)
-            weff = jnp.where(cl > 0, width, 0.0)[None, :]
-            single = (cl == 1)[None, :]
-            lend = jnp.cumsum(cl)
-            lstart = (lend - cl)[None, :]
-            lend = lend[None, :]
-            inside = (lstart >= lo_t) & (lend <= hi_t)
-            overlap = (lstart < hi_t) & (lend > lo_t)
-            partial_w = overlap & ~inside
-            mac = ((weff * weff < theta2 * dmin2) | single) & ~partial_w
-            accept = open_mask & alive & mac & ~inside
-            open_ = open_mask & alive & ~mac & ~inside
-            if l == L:
-                # beyond-halo opens (Morton seams; cells larger than the
-                # halo): evaluated EXACTLY by the masked ring pass below,
-                # preserving the fast paths' conservative guarantee.
-                # Counted here -- high counts mean the ring pass is doing
-                # O(n^2/S)-ish work and the halo/L_top sizing is off.
-                beyond_open = open_
-                beyond_cells = jnp.sum(open_, dtype=jnp.int32)
-                beyond_mass = jnp.sum(
-                    jnp.where(jnp.any(open_, axis=0), msl, 0.0))
-            accepts.append(accept)
-            coms.append(com)
-            masses.append(msl)
-            if l < L:
-                open_mask = jnp.repeat(open_, nbranch, axis=1)
-
-        # one concatenated heap (W_all = (nbranch^(L+1) - 1)/(nbranch - 1)
-        # slots) evaluated per TILE under lax.map: temporaries stay at
-        # (tile, W_all) instead of (nl, W_all) -- the production path
-        # would stream this through masked_eval_bits_pallas instead
-        acc_all = jnp.concatenate(accepts, axis=1)          # (T, W_all)
-        com_all = jnp.concatenate(coms, axis=0)             # (W_all, dim)
-        ms_all = jnp.concatenate(masses, axis=0)            # (W_all,)
-
-        def _far_tile(args):
-            xtb, am = args                                  # (tile,d),(W,)
-            dxf = com_all[None, :, :] - xtb[:, None, :]
-            d2f = jnp.sum(dxf * dxf, axis=-1)
-            sf = jnp.sqrt(d2f) + epsv
-            wf = jnp.where(am[None, :], ms_all[None, :] / (sf * sf * sf),
-                           0.0)
-            return jnp.einsum("bw,bwd->bd", wf, dxf)
-
-        far = jax.lax.map(_far_tile, (xt, acc_all)).reshape(nl, dim)
-
-        # ---- near field: exact vs the snapped halo interval -----------
-        jrow = e0 + jnp.arange(halo_w, dtype=jnp.int32)
-        mj = jnp.where((jrow >= lo_t) & (jrow < hi_t), m_e, 0.0)
-
-        def _near_tile(xtb):
-            dxn = x_e[None, :, :] - xtb[:, None, :]
-            d2n = jnp.sum(dxn * dxn, axis=-1)
-            sn = jnp.sqrt(d2n) + epsv
-            wn = mj[None, :] / (sn * sn * sn)   # self-pair: 0/eps^3 -> 0
-            return jnp.einsum("bj,bjd->bd", wn, dxn)
-
-        near = jax.lax.map(_near_tile, xt).reshape(nl, dim)
-
-        # ---- beyond-halo ring pass: EXACT bodies of Morton-far opens --
-        # Every shard's (m, x, keys) block rotates around the ring (the
-        # parallel/ring.py structure); at rotation r the visitor is shard
-        # (idx - r)'s block and contributes only rows whose L_top cell is
-        # beyond-halo-open for the local tile.  beyond cells lie outside
-        # the snapped near interval by construction, so no pair is double
-        # counted.  lax.cond skips the math whenever the visitor block
-        # has no beyond targets -- the common case is a handful of active
-        # rotations.  (Production note: an entry-compacted exchange would
-        # move only the needed S-blocks; designed in
-        # docs/DISTRIBUTED_TREES.md, not yet built.)
-        shift_L = jnp.uint32((depth - L) * dim)
-        ring = jnp.zeros((nl, dim), dtype)
-        mv, xv, kv = m_l, x_l, keys
-        perm = [(s, (s + 1) % n_shards) for s in range(n_shards)]
-        for r in range(n_shards):
-            cell_v = (kv >> shift_L).astype(jnp.int32)
-            bmask = jnp.take(beyond_open, cell_v, axis=1)     # (T, nl)
-
-            def _eval(xv_, mv_, bm_):
-                def _ring_tile(args):
-                    xtb, bmt = args
-                    dxr = xv_[None, :, :] - xtb[:, None, :]
-                    d2r = jnp.sum(dxr * dxr, axis=-1)
-                    sr = jnp.sqrt(d2r) + epsv
-                    wr = jnp.where(bmt[None, :],
-                                   mv_[None, :] / (sr * sr * sr), 0.0)
-                    return jnp.einsum("bj,bjd->bd", wr, dxr)
-
-                return jax.lax.map(_ring_tile, (xt, bm_)).reshape(nl, dim)
-
-            ring = ring + jax.lax.cond(
-                jnp.any(bmask), _eval,
-                lambda *_: jnp.zeros((nl, dim), dtype),
-                xv, mv, bmask)
-            if r + 1 < n_shards:
-                mv = jax.lax.ppermute(mv, BODY_AXIS, perm)
-                xv = jax.lax.ppermute(xv, BODY_AXIS, perm)
-                kv = jax.lax.ppermute(kv, BODY_AXIS, perm)
-
-        acc = jnp.asarray(G, dtype) * (far + near + ring)
-        beyond_cells = jax.lax.psum(beyond_cells, BODY_AXIS)
-        beyond_mass = jax.lax.pmax(beyond_mass, BODY_AXIS)
-        return (m_l, x_l, v_l, a_l, ao_l, acc, beyond_cells, beyond_mass,
-                lvl_mass[0][0])
-
-    mapped = _shard_map(
-        shard_fn, mesh,
-        in_specs=(P(BODY_AXIS),) + (P(BODY_AXIS, None),) * 4
-        + (P(), P(), P()),
-        out_specs=((P(BODY_AXIS),) + (P(BODY_AXIS, None),) * 4
-                   + (P(BODY_AXIS, None), P(), P(), P())),
-    )
-
-    from nbody_tpu.ops.integrator import leapfrog_step
+    dim = cfg.dim
 
     @jax.jit
     def step(state: SystemState, k=None):
@@ -614,10 +306,8 @@ def make_partitioned_octree_step(cfg: SimConfig, n_shards: int,
         else:
             mp, xp, vp, ap, aop = (state.m, state.x, state.v, state.a,
                                    state.ao)
-        lo = jnp.min(xp, axis=0)
-        hi = jnp.max(xp, axis=0)
         m2, x2, v2, _a2, ao2, acc, bc, bm, root_mass = mapped(
-            mp, xp, vp, ap, aop, lo, hi, jnp.asarray(nreal, jnp.int32))
+            mp, xp, vp, ap, aop, jnp.asarray(nreal, jnp.int32))
         # engine contract (ops/integrator.py): a = the accel just
         # computed, ao = the previous step's (rides the sort as payload)
         st = SystemState(m=m2[:nreal], x=x2[:nreal], v=v2[:nreal],
@@ -627,3 +317,244 @@ def make_partitioned_octree_step(cfg: SimConfig, n_shards: int,
         return leapfrog_step(st, cfg.dt), aux
 
     return step
+
+
+_SPECS = dict(
+    in_specs=(P(BODY_AXIS),) + (P(BODY_AXIS, None),) * 4 + (P(),),
+    out_specs=((P(BODY_AXIS),) + (P(BODY_AXIS, None),) * 4
+               + (P(BODY_AXIS, None), P(), P(), P())),
+)
+
+
+# ------------------------------------------------------------- variants
+
+def make_partitioned_bvh_step(cfg: SimConfig, n_shards: int,
+                              mesh: Mesh | None = None,
+                              tile: int = 256, halo: int = 1,
+                              l_top: int | None = None):
+    """Partitioned implicit-BVH step.  Structurally the simpler variant:
+    node j at level l covers rows [j * 2^(k-l), (j+1) * 2^(k-l)) of the
+    padded power-of-two stream (bvh.h:98-127 semantics), so the halo
+    interval needs no cell snapping (shard-block boundaries ARE node
+    boundaries whenever the L_top node size divides n/S) and the ring
+    pass derives visitor cells from row arithmetic, no key transport.
+    Per-pair math is the BVH softening (d2^1.5 + eps, bvh.h:297).
+    fp32/f64; requires power-of-two n_shards and tile."""
+    if mesh is None:
+        mesh = body_mesh(n_shards)
+    from nbody_tpu.ops.hilbert import hilbert_key_u32pair, quantize
+
+    dim, n = cfg.dim, cfg.n
+    theta, G, eps = float(cfg.theta), float(cfg.G), cfg.eps
+    dtype = np.dtype(cfg.dtype).type
+    theta2 = jnp.asarray(theta * theta, dtype)
+
+    if n_shards & (n_shards - 1) or tile & (tile - 1):
+        raise ValueError("partitioned bvh requires power-of-two n_shards "
+                         f"and tile (got {n_shards}, {tile})")
+    k = max(1, (max(n, 2) - 1).bit_length())       # npad = 2^k
+    npad = 1 << k
+    while npad % (n_shards * tile):
+        npad *= 2
+        k += 1
+    nl = npad // n_shards
+    ntiles_l = nl // tile
+    halo_w = (2 * halo + 1) * nl
+    # L_top: ~16 bodies per node, <= 2^14 nodes, node size divides nl
+    L = l_top if l_top is not None else max(1, min(k - 4, 14))
+    L = min(L, k, (nl - 1).bit_length())
+    S2 = 1 << (k - L)                              # bodies per L_top node
+    assert nl % S2 == 0
+    C = 1 << L
+
+    def shard_fn(m_l, x_l, v_l, a_l, ao_l, nreal):
+        idx = jax.lax.axis_index(BODY_AXIS)
+        # eps-padded box like the single-chip path (aabb_of_points
+        # semantics, bvh.h:16-22 incl. the origin): computed from local
+        # min/max + pmin/pmax -- pads duplicate a real position, so they
+        # cannot widen it.  (The quantile/gather forms cannot run on
+        # sharded operands outside shard_map.)
+        tol = jnp.asarray(10.0 * eps, x_l.dtype)
+        zdim = jnp.zeros((dim,), x_l.dtype)
+        lo = jax.lax.pmin(jnp.minimum(jnp.min(x_l, axis=0), zdim),
+                          BODY_AXIS) - tol
+        hi = jax.lax.pmax(jnp.maximum(jnp.max(x_l, axis=0), zdim),
+                          BODY_AXIS) + tol
+        cell = quantize(x_l, lo, hi - lo, dim)
+        khi, klo = hilbert_key_u32pair(cell, dim, true_curve=(dim == 3))
+        _, m_l, x_l, v_l, a_l, ao_l = _sort_state(
+            [khi, klo], m_l, x_l, v_l, a_l, ao_l, nreal, idx, nl,
+            n_shards, dim)
+
+        grow = idx * nl + jnp.arange(nl, dtype=jnp.int32)
+        real = grow < nreal
+        # pads scatter OOB (dropped): excluded from counts AND bounding
+        # boxes (their duplicated input position is arbitrary once the
+        # flag-major sort moved them to the tail)
+        node = jnp.where(real, grow >> (k - L), jnp.int32(C))
+        lvl = _psum_heap(node, m_l, x_l, C, 2, dim, dtype, L)
+
+        m_e, x_e = _halo_window([m_l, x_l], idx, halo, n_shards)
+        e0 = (idx - halo) * nl
+        # node-aligned halo: S2 | nl, no snapping needed
+        r0 = jnp.maximum(0, e0)
+        r1 = jnp.minimum(npad, (idx + halo + 1) * nl)
+
+        xt = x_l.reshape(ntiles_l, tile, dim)
+        epsv = jnp.asarray(eps, dtype)
+
+        def range_fn(l):
+            span = 1 << (k - l)
+            lstart = (jnp.arange(1 << l, dtype=jnp.int32) * span)[None, :]
+            return lstart, lstart + span
+
+        acc_all, com_all, ms_all, beyond, bc, bm = _mac_concat(
+            lvl, xt, range_fn, r0, r1, theta2, 2, L, dtype)
+
+        def soften(d2):
+            return d2 * jnp.sqrt(d2) + epsv    # dist3 = d2^1.5 + eps
+
+        far = _eval_far(xt, acc_all, com_all, ms_all, soften, nl, dim)
+
+        jrow = e0 + jnp.arange(halo_w, dtype=jnp.int32)
+        mj = jnp.where((jrow >= r0) & (jrow < r1), m_e, 0.0)
+        near = _eval_near(xt, x_e, mj, soften, nl, dim)
+
+        def cell_of_visitor(r, _extras):
+            src = (idx - r) % n_shards
+            return (src * nl + jnp.arange(nl, dtype=jnp.int32)) >> (k - L)
+
+        ring = _ring_beyond(xt, beyond, m_l, x_l, [], cell_of_visitor,
+                            soften, idx, nl, dim, dtype, n_shards)
+
+        acc = jnp.asarray(G, dtype) * (far + near + ring)
+        bc = jax.lax.psum(bc, BODY_AXIS)
+        bm = jax.lax.pmax(bm, BODY_AXIS)
+        return (m_l, x_l, v_l, a_l, ao_l, acc, bc, bm, lvl["mass"][0][0])
+
+    mapped = _shard_map(shard_fn, mesh, **_SPECS)
+    return _make_step(cfg, mapped, npad)
+
+
+def make_partitioned_octree_step(cfg: SimConfig, n_shards: int,
+                                 mesh: Mesh | None = None,
+                                 tile: int = 256, halo: int = 1,
+                                 l_top: int | None = None):
+    """Partitioned Morton-cell octree step ((sqrt(d2)+eps)^3 softening,
+    octree.h:236-247).  Cell row ranges come from the psum'd counts'
+    cumsum and the halo interval SNAPS to cell boundaries (cells are
+    spatial, not row-arithmetic, unlike the BVH variant).
+
+    Returns step(state) -> (state, aux); state arrays are global-view
+    (n, ...) jax.Arrays sharded over the body mesh; the returned state is
+    in the NEW Morton order (the sort happens inside, exactly like the
+    single-chip tree engines re-sort every step).  aux carries the
+    beyond-halo diagnostics and the root mass."""
+    if mesh is None:
+        mesh = body_mesh(n_shards)
+    from nbody_tpu.ops.octree import max_depth, morton_keys, robust_quant_box
+
+    dim, n = cfg.dim, cfg.n
+    theta, G, eps = float(cfg.theta), float(cfg.G), cfg.eps
+    dtype = np.dtype(cfg.dtype).type
+    depth = max_depth(n, dim)
+    nbranch = 1 << dim
+    L = l_top if l_top is not None else _coarse_level(n, dim)
+    L = min(L, depth)
+    C = nbranch ** L
+    theta2 = jnp.asarray(theta * theta, dtype)
+
+    npad = _round_up(n, n_shards * tile)
+    nl = npad // n_shards
+    ntiles_l = nl // tile
+    halo_w = (2 * halo + 1) * nl
+
+    # per-shard subsample size for the robust box quantiles (the
+    # single-chip path subsamples to <= 16384 rows, octree.py:355)
+    sub_stride = max(1, (npad // n_shards) // max(1, 16384 // n_shards))
+
+    def shard_fn(m_l, x_l, v_l, a_l, ao_l, nreal):
+        idx = jax.lax.axis_index(BODY_AXIS)
+        # robust quantization box like the single-chip fast path: the raw
+        # min/max box is exactly what escaper bodies balloon (octree.py
+        # robust_quant_box, measured 13x box growth after 10 steps) -- a
+        # collapsed core would push most mass beyond the halo and degrade
+        # the ring pass to O(n^2/S) work.  Quantiles cannot run on the
+        # sharded global array, so each shard contributes a strided
+        # subsample and one small all_gather replicates it (pads
+        # duplicate a real position: harmless for min/max, negligible
+        # quantile bias).
+        sub = jax.lax.all_gather(x_l[::sub_stride], BODY_AXIS, tiled=True)
+        lo, hi = robust_quant_box(sub, None, None)
+        keys0 = morton_keys(x_l, lo, hi, depth)
+        (keys,), m_l, x_l, v_l, a_l, ao_l = _sort_state(
+            [keys0], m_l, x_l, v_l, a_l, ao_l, nreal, idx, nl,
+            n_shards, dim)
+
+        grow = idx * nl + jnp.arange(nl, dtype=jnp.int32)
+        is_pad = grow >= nreal
+        shift_L = jnp.uint32((depth - L) * dim)
+        # pads scatter to the out-of-range cell C: dropped (OOB scatter)
+        cell = jnp.where(is_pad, jnp.int32(C),
+                         (keys >> shift_L).astype(jnp.int32))
+        lvl = _psum_heap(cell, m_l, x_l, C, nbranch, dim, dtype, L)
+        cnt = lvl["cnt"][L]
+
+        # global L_top row ranges (cells are contiguous in the sorted
+        # order): starts/ends from the psum'd counts.  Sentinel row C is
+        # the pad tail [nreal, npad).
+        ce_arr = jnp.cumsum(cnt)
+        cs_arr = ce_arr - cnt
+        cs_arr = jnp.concatenate([cs_arr, nreal[None]])
+        ce_arr = jnp.concatenate([ce_arr, jnp.asarray([npad], jnp.int32)])
+
+        m_e, x_e, k_e = _halo_window([m_l, x_l, keys], idx, halo, n_shards)
+        e0 = (idx - halo) * nl
+
+        # cell-snapped exact interval [lo_t, hi_t): the near field must
+        # cover whole cells so the far field can drop them cleanly
+        # (octree_group.py window partition)
+        r0 = jnp.maximum(0, e0)
+        r1 = jnp.minimum(npad, (idx + halo + 1) * nl)
+        jrow = e0 + jnp.arange(halo_w, dtype=jnp.int32)
+        cell_e = jnp.where(jrow >= nreal, jnp.int32(C),
+                           (k_e >> shift_L).astype(jnp.int32))
+        c0 = cell_e[r0 - e0]
+        c1 = cell_e[r1 - 1 - e0]
+        lo_t = jnp.where(cs_arr[c0] == r0, r0, ce_arr[c0])
+        hi_t = jnp.where(ce_arr[c1] == r1, r1, cs_arr[c1])
+        hi_t = jnp.maximum(hi_t, lo_t)
+
+        xt = x_l.reshape(ntiles_l, tile, dim)
+        epsv = jnp.asarray(eps, dtype)
+
+        def range_fn(l):
+            cl = lvl["cnt"][l]
+            lend = jnp.cumsum(cl)
+            return (lend - cl)[None, :], lend[None, :]
+
+        acc_all, com_all, ms_all, beyond, bc, bm = _mac_concat(
+            lvl, xt, range_fn, lo_t, hi_t, theta2, nbranch, L, dtype)
+
+        def soften(d2):
+            s = jnp.sqrt(d2) + epsv            # (sqrt(d2) + eps)^3
+            return s * s * s
+
+        far = _eval_far(xt, acc_all, com_all, ms_all, soften, nl, dim)
+
+        mj = jnp.where((jrow >= lo_t) & (jrow < hi_t), m_e, 0.0)
+        near = _eval_near(xt, x_e, mj, soften, nl, dim)
+
+        def cell_of_visitor(r, extras):
+            return (extras[0] >> shift_L).astype(jnp.int32)
+
+        ring = _ring_beyond(xt, beyond, m_l, x_l, [keys], cell_of_visitor,
+                            soften, idx, nl, dim, dtype, n_shards)
+
+        acc = jnp.asarray(G, dtype) * (far + near + ring)
+        bc = jax.lax.psum(bc, BODY_AXIS)
+        bm = jax.lax.pmax(bm, BODY_AXIS)
+        return (m_l, x_l, v_l, a_l, ao_l, acc, bc, bm, lvl["mass"][0][0])
+
+    mapped = _shard_map(shard_fn, mesh, **_SPECS)
+    return _make_step(cfg, mapped, npad)

@@ -22,10 +22,12 @@ def sync(tree) -> None:
                 np.asarray(jax.device_get(leaf[idx] if leaf.ndim else leaf))
             except Exception:
                 # mesh-sharded leaves reject scalar gathers outside jit
-                # (ShardingTypeError); pull the first addressable shard
-                # instead -- same completion barrier, one-shard transfer
+                # (ShardingTypeError); pull EVERY addressable shard --
+                # one shard would only barrier its own device and
+                # under-report multi-device step times
                 shards = getattr(leaf, "addressable_shards", None)
                 if shards:
-                    np.asarray(shards[0].data)
+                    for sh in shards:
+                        np.asarray(sh.data)
                 else:
                     np.asarray(jax.device_get(leaf))

@@ -63,7 +63,7 @@ def main() -> int:
     rows = []
 
     def timed(fn, *args, reps=a.steps):
-        fn(*args)                      # compile + warm
+        jax.block_until_ready(fn(*args))   # compile + warm, fully retired
         t0 = time.perf_counter()
         for _ in range(reps):
             out = fn(*args)

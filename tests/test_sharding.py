@@ -497,3 +497,36 @@ def test_partitioned_octree_pad_rows_not_dropped(f32_eps):
     err = float(np.linalg.norm(np.asarray(st2.a) - a_ref)) / (
         float(np.linalg.norm(a_ref)) + 1e-30)
     assert err < 0.01, err
+
+
+@pytest.mark.parametrize("adaptive", [False, True])
+def test_distributed_sort_tied_keys_multiset(adaptive):
+    """Regression: the merge-split used to concatenate [mine, theirs] on
+    BOTH sides of a pair; with tied keys the two stable sorts resolved
+    ties by different input positions and the kept halves duplicated/
+    dropped rows.  Heavily tied and all-equal keys must preserve the
+    payload multiset exactly."""
+    from jax.sharding import PartitionSpec as P
+
+    from nbody_tpu.parallel.distributed_sort import distributed_sort_rows
+
+    S, nl = 8, 64
+    n = S * nl
+    rng = np.random.default_rng(3)
+    mesh = body_mesh(S)
+    for keys_np in (rng.integers(0, 16, n).astype(np.uint32),
+                    np.zeros(n, np.uint32)):
+        pay = rng.uniform(0.1, 1.0, n).astype(np.float32)
+
+        def fn(k, mm):
+            ks, cs = distributed_sort_rows([k], [mm], BODY_AXIS, S,
+                                           adaptive=adaptive)
+            return ks[0], cs[0]
+
+        mapped = jax.jit(jax.shard_map(
+            fn, mesh=mesh, in_specs=(P(BODY_AXIS),) * 2,
+            out_specs=(P(BODY_AXIS),) * 2))
+        ko, po = mapped(jnp.asarray(keys_np), jnp.asarray(pay))
+        assert (np.diff(np.asarray(ko).astype(np.int64)) >= 0).all()
+        np.testing.assert_array_equal(np.sort(np.asarray(po)),
+                                      np.sort(pay))
