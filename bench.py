@@ -320,6 +320,8 @@ def main() -> int:
     global _t0
     _t0 = time.monotonic()
 
+    _wait_s = {"total": 0.0}
+
     def _await_tunnel() -> bool:
         """PERSISTENT liveness gate (round-3 lesson: two probes in 9
         minutes forfeited a 110-minute budget against a tunnel that flaps
@@ -328,15 +330,22 @@ def main() -> int:
         a dead tunnel costs zero child timeouts.  Returns False when the
         remaining budget can no longer fit a metric."""
         probes = 0
+        w0 = time.monotonic()
         while True:
-            if _tunnel_alive():
+            alive = _tunnel_alive()
+            _wait_s["total"] = _wait_s.get("base", 0.0) + (
+                time.monotonic() - w0)
+            if alive:
+                _wait_s["base"] = _wait_s["total"]
+                if _wait_s["total"] > 30:
+                    _errors["tunnel_waited_s"] = int(_wait_s["total"])
                 return True
             probes += 1
             left = BENCH_BUDGET_S - (time.monotonic() - _t0)
             if left < 360:   # not enough budget left for even one metric
                 _errors["tunnel"] = (
                     f"device liveness probe failed {probes}x over "
-                    f"{int(time.monotonic() - _t0)}s")
+                    f"{int(_wait_s['total'])}s of waiting")
                 return False
             time.sleep(min(300, max(60, left - 360)))
 
