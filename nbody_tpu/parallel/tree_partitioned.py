@@ -218,6 +218,39 @@ def _mac_concat(lvl, xt, range_fn, lo_t, hi_t, theta2, nbranch, L, dtype):
     return acc_all, com_all, ms_all, beyond, beyond_cells, beyond_mass
 
 
+def _eval_far_pallas(x_l, acc_all, com_all, ms_all, eps, softening,
+                     interpret):
+    """Production far field: bit-packed accept mask streamed through
+    masked_eval_bits_pallas (32x less HBM than a dense mask; the same
+    kernel the single-chip fast paths use)."""
+    from nbody_tpu.ops.pallas_group_eval import (
+        masked_eval_bits_pallas,
+        pack_mask_bits,
+    )
+
+    return masked_eval_bits_pallas(
+        x_l, ms_all, com_all.T, pack_mask_bits(acc_all), float(eps),
+        interpret=interpret, softening=softening)
+
+
+def _eval_near_pallas(x_l, m_e, x_e, lo_rel, hi_rel, tile, eps, softening,
+                      interpret):
+    """Production near field: the halo interval rides the scalar-prefetch
+    operand of window_eval_interval_pallas (w0 = 0: the window IS the
+    whole E buffer; the [lo, hi) compare masks rows in-kernel)."""
+    from nbody_tpu.ops.pallas_group_eval import window_eval_interval_pallas
+
+    ntiles_l = x_l.shape[0] // tile
+    wt = x_e.shape[0] // tile
+    wj = 4 if wt % 4 == 0 else (2 if wt % 2 == 0 else 1)
+    zeros_t = jnp.zeros((ntiles_l,), jnp.int32)
+    lo_b = jnp.broadcast_to(lo_rel.astype(jnp.int32), (ntiles_l,))
+    hi_b = jnp.broadcast_to(hi_rel.astype(jnp.int32), (ntiles_l,))
+    return window_eval_interval_pallas(
+        x_l, m_e, x_e.T, zeros_t, lo_b, hi_b, float(eps),
+        window_tiles=wt, interpret=interpret, softening=softening, wj=wj)
+
+
 def _eval_far(xt, acc_all, com_all, ms_all, soften, nl, dim):
     """Masked monopole evaluation, chunked per tile with lax.map so
     temporaries stay at (tile, W_all) (production: the bit-packed mask
@@ -331,7 +364,8 @@ _SPECS = dict(
 def make_partitioned_bvh_step(cfg: SimConfig, n_shards: int,
                               mesh: Mesh | None = None,
                               tile: int = 256, halo: int = 1,
-                              l_top: int | None = None):
+                              l_top: int | None = None,
+                              use_pallas=False):
     """Partitioned implicit-BVH step.  Structurally the simpler variant:
     node j at level l covers rows [j * 2^(k-l), (j+1) * 2^(k-l)) of the
     padded power-of-two stream (bvh.h:98-127 semantics), so the halo
@@ -414,11 +448,17 @@ def make_partitioned_bvh_step(cfg: SimConfig, n_shards: int,
         def soften(d2):
             return d2 * jnp.sqrt(d2) + epsv    # dist3 = d2^1.5 + eps
 
-        far = _eval_far(xt, acc_all, com_all, ms_all, soften, nl, dim)
-
-        jrow = e0 + jnp.arange(halo_w, dtype=jnp.int32)
-        mj = jnp.where((jrow >= r0) & (jrow < r1), m_e, 0.0)
-        near = _eval_near(xt, x_e, mj, soften, nl, dim)
+        if use_pallas:
+            itp = use_pallas == "interpret"
+            far = _eval_far_pallas(x_l, acc_all, com_all, ms_all, eps,
+                                   "poly", itp)
+            near = _eval_near_pallas(x_l, m_e, x_e, r0 - e0, r1 - e0,
+                                     tile, eps, "poly", itp)
+        else:
+            far = _eval_far(xt, acc_all, com_all, ms_all, soften, nl, dim)
+            jrow = e0 + jnp.arange(halo_w, dtype=jnp.int32)
+            mj = jnp.where((jrow >= r0) & (jrow < r1), m_e, 0.0)
+            near = _eval_near(xt, x_e, mj, soften, nl, dim)
 
         def cell_of_visitor(r, _extras):
             src = (idx - r) % n_shards
@@ -439,7 +479,8 @@ def make_partitioned_bvh_step(cfg: SimConfig, n_shards: int,
 def make_partitioned_octree_step(cfg: SimConfig, n_shards: int,
                                  mesh: Mesh | None = None,
                                  tile: int = 256, halo: int = 1,
-                                 l_top: int | None = None):
+                                 l_top: int | None = None,
+                                 use_pallas=False):
     """Partitioned Morton-cell octree step ((sqrt(d2)+eps)^3 softening,
     octree.h:236-247).  Cell row ranges come from the psum'd counts'
     cumsum and the halo interval SNAPS to cell boundaries (cells are
@@ -540,10 +581,16 @@ def make_partitioned_octree_step(cfg: SimConfig, n_shards: int,
             s = jnp.sqrt(d2) + epsv            # (sqrt(d2) + eps)^3
             return s * s * s
 
-        far = _eval_far(xt, acc_all, com_all, ms_all, soften, nl, dim)
-
-        mj = jnp.where((jrow >= lo_t) & (jrow < hi_t), m_e, 0.0)
-        near = _eval_near(xt, x_e, mj, soften, nl, dim)
+        if use_pallas:
+            itp = use_pallas == "interpret"
+            far = _eval_far_pallas(x_l, acc_all, com_all, ms_all, eps,
+                                   "sqrt3", itp)
+            near = _eval_near_pallas(x_l, m_e, x_e, lo_t - e0, hi_t - e0,
+                                     tile, eps, "sqrt3", itp)
+        else:
+            far = _eval_far(xt, acc_all, com_all, ms_all, soften, nl, dim)
+            mj = jnp.where((jrow >= lo_t) & (jrow < hi_t), m_e, 0.0)
+            near = _eval_near(xt, x_e, mj, soften, nl, dim)
 
         def cell_of_visitor(r, extras):
             return (extras[0] >> shift_L).astype(jnp.int32)

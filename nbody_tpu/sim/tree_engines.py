@@ -102,7 +102,8 @@ class BVHEngine:
                 make_partitioned_bvh_step,
             )
 
-            inner = make_partitioned_bvh_step(cfg, opts.mesh)
+            inner = make_partitioned_bvh_step(cfg, opts.mesh,
+                                          use_pallas=_use_pallas_eval(cfg, opts))
 
             def step(state, k):
                 st, aux = inner(state, k)
@@ -226,7 +227,8 @@ class OctreeEngine:
                     make_partitioned_octree_step,
                 )
 
-                inner = make_partitioned_octree_step(cfg, opts.mesh)
+                inner = make_partitioned_octree_step(cfg, opts.mesh,
+                                          use_pallas=_use_pallas_eval(cfg, opts))
 
                 def step(state, k):
                     st, aux = inner(state, k)

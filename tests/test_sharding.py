@@ -530,3 +530,30 @@ def test_distributed_sort_tied_keys_multiset(adaptive):
         assert (np.diff(np.asarray(ko).astype(np.int64)) >= 0).all()
         np.testing.assert_array_equal(np.sort(np.asarray(po)),
                                       np.sort(pay))
+
+
+@pytest.mark.parametrize("maker_name", ["octree", "bvh"])
+def test_partitioned_pallas_matches_jnp(maker_name, f32_eps):
+    """The kernelized partitioned far/near (masked_eval_bits_pallas +
+    window_eval_interval_pallas, interpret mode) must match the dense
+    jnp path to f32 reorder noise."""
+    from nbody_tpu.parallel.tree_partitioned import (
+        make_partitioned_bvh_step,
+        make_partitioned_octree_step,
+    )
+    from nbody_tpu.state import SystemState
+
+    maker = (make_partitioned_octree_step if maker_name == "octree"
+             else make_partitioned_bvh_step)
+    n, dim = 4096, 2
+    rng = np.random.default_rng(5)
+    x = (rng.normal(0, 1, (4, dim))[rng.integers(0, 4, n)] * 30
+         + rng.normal(0, 1, (n, dim))).astype(np.float32)
+    m = rng.uniform(0.1, 1.0, n).astype(np.float32)
+    cfg = SimConfig(n=n, dim=dim, dtype=np.float32, theta=0.5, dt=0.0)
+    z = jnp.zeros((n, dim), jnp.float32)
+    st = SystemState(m=jnp.asarray(m), x=jnp.asarray(x), v=z, a=z, ao=z)
+    s_jnp, _ = maker(cfg, 8)(st)
+    s_pal, _ = maker(cfg, 8, use_pallas="interpret")(st)
+    a1, a2 = np.asarray(s_jnp.a), np.asarray(s_pal.a)
+    assert np.abs(a1 - a2).max() / (np.abs(a1).max() + 1e-30) < 1e-4
