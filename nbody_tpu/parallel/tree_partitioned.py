@@ -33,15 +33,16 @@ Layout per step (all inside one shard_map over the 1-D body mesh):
           (body, source) pair is counted exactly once);
   beyond  open L_top cells OUTSIDE the halo interval (curve seams,
           extreme density contrast, cells wider than the halo) are
-          evaluated EXACTLY by a masked ring pass (the parallel/ring.py
-          structure; lax.cond skips rotations with no targets), so the
-          fast paths' conservative never-less-accurate guarantee holds
-          everywhere and theta=0 reproduces the direct sum.  The
-          beyond set is COUNTED (aux: beyond_halo_cells/_mass): high
-          counts mean the ring pass is doing O(n^2/S)-ish work and the
-          halo/L_top sizing is off.  The production optimization
-          (entry-compacted exchange moving only the requested blocks)
-          is designed in docs/DISTRIBUTED_TREES.md, not yet built.
+          evaluated EXACTLY: a psum ORs every shard's beyond set into a
+          global NEED mask, each shard compacts its needed rows into a
+          static beyond_budget buffer, and one small all_gather
+          replicates them (S * budget rows of traffic).  If any shard's
+          needed rows overflow the budget, ONE replicated flag routes
+          the whole step to the exact block-ring fallback (the
+          parallel/ring.py structure; n rows of traffic) -- truncation
+          is impossible, the conservative never-less-accurate guarantee
+          holds everywhere, and theta=0 reproduces the direct sum.  The
+          beyond set is COUNTED (aux: beyond_halo_cells/_mass).
 
 Two variants share the machinery below: the OCTREE (Morton cells,
 (sqrt(d2)+eps)^3 softening, octree.h:236-247; cell row ranges come from
@@ -277,6 +278,59 @@ def _eval_near(xt, x_e, mj, soften, nl, dim):
     return jax.lax.map(_near_tile, xt).reshape(nl, dim)
 
 
+def _beyond_exchange(xt, beyond_open, m_l, x_l, cell_local, soften,
+                     idx, nl, dim, dtype, n_shards, extras,
+                     cell_of_visitor, r_budget):
+    """Entry-compacted beyond exchange (docs/DISTRIBUTED_TREES.md item 2,
+    replacing the block ring in the common case): one psum ORs every
+    shard's beyond-open cells into a global NEED mask; each shard
+    compacts its own rows that fall in needed cells into a STATIC
+    r_budget-row buffer; one small all_gather replicates the buffers and
+    each tile evaluates them against its own beyond mask -- traffic is
+    S * r_budget rows instead of the ring's n.  A shard whose needed
+    rows overflow the budget trips ONE global flag and the exact block
+    ring runs instead (truncation is impossible, matching the single
+    chip paths' cap-trips-fallback rule)."""
+    ntiles_l, tile = xt.shape[0], xt.shape[1]
+    C = beyond_open.shape[1]
+    need = jax.lax.psum(
+        jnp.any(beyond_open, axis=0).astype(jnp.int32), BODY_AXIS) > 0
+
+    rowmask = (cell_local < C) & need[jnp.minimum(cell_local, C - 1)]
+    rank = jnp.cumsum(rowmask.astype(jnp.int32)) - 1
+    count = jnp.sum(rowmask, dtype=jnp.int32)
+    dst = jnp.where(rowmask, rank, r_budget)
+    m_b = jnp.zeros((r_budget,), dtype).at[dst].set(m_l, mode="drop")
+    x_b = jnp.zeros((r_budget, dim), dtype).at[dst].set(x_l, mode="drop")
+    c_b = jnp.zeros((r_budget,), jnp.int32).at[dst].set(
+        cell_local, mode="drop")
+    m_g = jax.lax.all_gather(m_b, BODY_AXIS, tiled=True)
+    x_g = jax.lax.all_gather(x_b, BODY_AXIS, tiled=True)
+    c_g = jax.lax.all_gather(c_b, BODY_AXIS, tiled=True)
+    overflow = jax.lax.psum((count > r_budget).astype(jnp.int32),
+                            BODY_AXIS) > 0
+
+    def _exchange(_m, _x, _ex):
+        bmask = jnp.take(beyond_open, c_g, axis=1)           # (T, S*R)
+
+        def _tile(args):
+            xtb, bmt = args
+            dxr = x_g[None, :, :] - xtb[:, None, :]
+            d2r = jnp.sum(dxr * dxr, axis=-1)
+            wr = jnp.where(bmt[None, :], m_g[None, :] / soften(d2r), 0.0)
+            return jnp.einsum("bj,bjd->bd", wr, dxr)
+
+        return jax.lax.map(_tile, (xt, bmask)).reshape(nl, dim)
+
+    def _ring(_m, _x, _ex):
+        return _ring_beyond(xt, beyond_open, _m, _x, list(_ex),
+                            cell_of_visitor, soften, idx, nl, dim, dtype,
+                            n_shards)
+
+    return jax.lax.cond(overflow, _ring, _exchange,
+                        m_l, x_l, tuple(extras)), count
+
+
 def _ring_beyond(xt, beyond_open, m_l, x_l, extras, cell_of_visitor,
                  soften, idx, nl, dim, dtype, n_shards):
     """Exact bodies of beyond-halo open cells via a block ring: every
@@ -365,7 +419,8 @@ def make_partitioned_bvh_step(cfg: SimConfig, n_shards: int,
                               mesh: Mesh | None = None,
                               tile: int = 256, halo: int = 1,
                               l_top: int | None = None,
-                              use_pallas=False):
+                              use_pallas=False,
+                              beyond_budget: int | None = None):
     """Partitioned implicit-BVH step.  Structurally the simpler variant:
     node j at level l covers rows [j * 2^(k-l), (j+1) * 2^(k-l)) of the
     padded power-of-two stream (bvh.h:98-127 semantics), so the halo
@@ -400,6 +455,7 @@ def make_partitioned_bvh_step(cfg: SimConfig, n_shards: int,
     S2 = 1 << (k - L)                              # bodies per L_top node
     assert nl % S2 == 0
     C = 1 << L
+    r_budget = beyond_budget if beyond_budget else max(256, nl // 4)
 
     def shard_fn(m_l, x_l, v_l, a_l, ao_l, nreal):
         idx = jax.lax.axis_index(BODY_AXIS)
@@ -464,8 +520,9 @@ def make_partitioned_bvh_step(cfg: SimConfig, n_shards: int,
             src = (idx - r) % n_shards
             return (src * nl + jnp.arange(nl, dtype=jnp.int32)) >> (k - L)
 
-        ring = _ring_beyond(xt, beyond, m_l, x_l, [], cell_of_visitor,
-                            soften, idx, nl, dim, dtype, n_shards)
+        ring, _need_rows = _beyond_exchange(
+            xt, beyond, m_l, x_l, node, soften, idx, nl, dim, dtype,
+            n_shards, [], cell_of_visitor, r_budget)
 
         acc = jnp.asarray(G, dtype) * (far + near + ring)
         bc = jax.lax.psum(bc, BODY_AXIS)
@@ -480,7 +537,8 @@ def make_partitioned_octree_step(cfg: SimConfig, n_shards: int,
                                  mesh: Mesh | None = None,
                                  tile: int = 256, halo: int = 1,
                                  l_top: int | None = None,
-                                 use_pallas=False):
+                                 use_pallas=False,
+                                 beyond_budget: int | None = None):
     """Partitioned Morton-cell octree step ((sqrt(d2)+eps)^3 softening,
     octree.h:236-247).  Cell row ranges come from the psum'd counts'
     cumsum and the halo interval SNAPS to cell boundaries (cells are
@@ -509,6 +567,7 @@ def make_partitioned_octree_step(cfg: SimConfig, n_shards: int,
     nl = npad // n_shards
     ntiles_l = nl // tile
     halo_w = (2 * halo + 1) * nl
+    r_budget = beyond_budget if beyond_budget else max(256, nl // 4)
 
     # per-shard subsample size for the robust box quantiles (the
     # single-chip path subsamples to <= 16384 rows, octree.py:355)
@@ -595,8 +654,9 @@ def make_partitioned_octree_step(cfg: SimConfig, n_shards: int,
         def cell_of_visitor(r, extras):
             return (extras[0] >> shift_L).astype(jnp.int32)
 
-        ring = _ring_beyond(xt, beyond, m_l, x_l, [keys], cell_of_visitor,
-                            soften, idx, nl, dim, dtype, n_shards)
+        ring, _need_rows = _beyond_exchange(
+            xt, beyond, m_l, x_l, cell, soften, idx, nl, dim, dtype,
+            n_shards, [keys], cell_of_visitor, r_budget)
 
         acc = jnp.asarray(G, dtype) * (far + near + ring)
         bc = jax.lax.psum(bc, BODY_AXIS)

@@ -557,3 +557,29 @@ def test_partitioned_pallas_matches_jnp(maker_name, f32_eps):
     s_pal, _ = maker(cfg, 8, use_pallas="interpret")(st)
     a1, a2 = np.asarray(s_jnp.a), np.asarray(s_pal.a)
     assert np.abs(a1 - a2).max() / (np.abs(a1).max() + 1e-30) < 1e-4
+
+
+def test_partitioned_beyond_budget_overflow_fallback(f32_eps):
+    """A beyond_budget too small for the needed rows must trip the
+    replicated overflow flag and route to the exact block-ring fallback
+    -- results identical-quality to the exchange path, never truncated."""
+    from nbody_tpu.parallel.tree_partitioned import (
+        make_partitioned_octree_step,
+    )
+    from nbody_tpu.state import SystemState
+
+    n, dim = 4096, 3
+    rng = np.random.default_rng(5)
+    x = (rng.normal(0, 1, (4, dim))[rng.integers(0, 4, n)] * 30
+         + rng.normal(0, 1, (n, dim))).astype(np.float32)
+    m = rng.uniform(0.1, 1.0, n).astype(np.float32)
+    cfg = SimConfig(n=n, dim=dim, dtype=np.float32, theta=0.5, dt=0.0)
+    z = jnp.zeros((n, dim), jnp.float32)
+    st = SystemState(m=jnp.asarray(m), x=jnp.asarray(x), v=z, a=z, ao=z)
+    s_ex, aux = make_partitioned_octree_step(cfg, 8)(st)
+    assert int(aux["beyond_halo_cells"]) > 0   # exchange actually used
+    s_ring, _ = make_partitioned_octree_step(cfg, 8, beyond_budget=1)(st)
+    a1, a2 = np.asarray(s_ex.a), np.asarray(s_ring.a)
+    # both paths evaluate the same exact pairs; only summation order
+    # differs (exchange buffer order vs ring rotation order)
+    assert np.abs(a1 - a2).max() / (np.abs(a1).max() + 1e-30) < 1e-4
