@@ -36,6 +36,8 @@ _HELP = """Help:
 --mesh N\t\tShard bodies across N devices (default 1)
 --mesh-layout L\treplicated (default) | partitioned (octree/bvh: sharded
 \t\tbodies + distributed sort, O(n/S) per device)
+--mesh-tile T\t\tPartitioned 2-D mesh: T tile-axis shards per body shard
+\t\t(mesh x T devices total; row-shards the force evaluation)
 --chunk N\t\tRow-chunk size for the jnp fallback kernels
 --fix-collapsed-z\t\tFix the reference's frozen-z quirk in all-pairs-collapsed
 --sort-every K\t\tRe-sort bodies every K steps in tree engines (default 1)
@@ -73,6 +75,7 @@ def parse_args(argv: list[str]) -> dict:
         "kernel": "auto",
         "mesh": 1,
         "mesh_layout": "replicated",
+        "mesh_tile": 1,
         "chunk": 2048,
         "fix_z": False,
         "sort_every": 1,
@@ -172,6 +175,9 @@ def parse_args(argv: list[str]) -> dict:
                       file=sys.stderr)
                 raise SystemExit(1)
             args["mesh_layout"] = argv[i]
+        elif flag == "--mesh-tile":
+            i += 1
+            args["mesh_tile"] = int(argv[i])
         elif flag == "--chunk":
             i += 1
             args["chunk"] = int(argv[i])
@@ -237,9 +243,10 @@ def main(argv: list[str] | None = None, out=None) -> int:
         import jax
 
         jax.config.update("jax_platforms", platform)
-        if platform == "cpu" and args["mesh"] > 1:
+        if platform == "cpu" and args["mesh"] * args["mesh_tile"] > 1:
             # --mesh on the CPU backend: provision enough virtual devices
-            jax.config.update("jax_num_cpu_devices", int(args["mesh"]))
+            jax.config.update("jax_num_cpu_devices",
+                              int(args["mesh"] * args["mesh_tile"]))
 
     if args["precision"] == "double":
         import jax
@@ -271,6 +278,7 @@ def main(argv: list[str] | None = None, out=None) -> int:
             fix_z=args["fix_z"],
             mesh=args["mesh"],
             mesh_layout=args["mesh_layout"],
+            mesh_tile=args["mesh_tile"],
             sort_every=args["sort_every"],
             traversal=args["traversal"],
             group_tile=args["group_tile"],

@@ -480,6 +480,8 @@ def compute_force_grouped_windowed(
     """
     if "epg8" in ablate.split(","):   # A/B: double entry packing
         epg = 8
+    if "epg16" in ablate.split(","):  # A/B: quadruple entry packing
+        epg = 16
     from nbody_tpu.ops.pallas_group_eval import (
         masked_eval_bits_pallas,
         masked_eval_pallas,

@@ -556,6 +556,8 @@ def compute_force_grouped_fast(
     """
     if "epg8" in ablate.split(","):   # A/B: double entry packing
         epg = 8
+    if "epg16" in ablate.split(","):  # A/B: quadruple entry packing
+        epg = 16
     from nbody_tpu.ops.pallas_group_eval import (
         entries_lohi_eval_pallas,
         group_shared_masked_eval_pallas,

@@ -7,6 +7,27 @@ from jax.sharding import Mesh
 
 
 BODY_AXIS = "bodies"
+TILE_AXIS = "tiles"
+
+
+def body_tile_mesh(n_body: int, n_tile: int) -> Mesh:
+    """A 2-D (body-shards x tile-shards) mesh for the partitioned trees
+    (docs/DISTRIBUTED_TREES.md item 5).  The body axis carries the
+    distributed sort, the replicated-heap psum and the halo ppermutes;
+    the tile axis row-shards the force evaluation (each tile-shard
+    evaluates 1/n_tile of its body shard's rows against the full
+    heap/halo and one all_gather along the tile axis reassembles the
+    accelerations).  On hardware, lay the tile axis on the faster ICI
+    ring: its all_gather moves (n/S, dim) rows every step, while the
+    body axis moves O(C) heap cells plus the halo blocks."""
+    devs = jax.devices()
+    need = n_body * n_tile
+    if need > len(devs):
+        raise ValueError(
+            f"requested {n_body}x{n_tile} mesh but only {len(devs)} devices"
+        )
+    return jax.make_mesh((n_body, n_tile), (BODY_AXIS, TILE_AXIS),
+                         devices=devs[:need])
 
 
 def body_mesh(n_devices: int | None = None) -> Mesh:

@@ -66,7 +66,12 @@ import numpy as np
 from jax.sharding import Mesh, PartitionSpec as P
 
 from nbody_tpu.config import SimConfig
-from nbody_tpu.parallel.mesh import BODY_AXIS, body_mesh
+from nbody_tpu.parallel.mesh import (
+    BODY_AXIS,
+    TILE_AXIS,
+    body_mesh,
+    body_tile_mesh,
+)
 from nbody_tpu.parallel.distributed_sort import distributed_sort_rows
 from nbody_tpu.state import SystemState
 
@@ -279,8 +284,8 @@ def _eval_near(xt, x_e, mj, soften, nl, dim):
 
 
 def _beyond_exchange(xt, beyond_open, m_l, x_l, cell_local, soften,
-                     idx, nl, dim, dtype, n_shards, extras,
-                     cell_of_visitor, r_budget):
+                     idx, dim, dtype, n_shards, extras,
+                     cell_of_visitor, r_budget, axes=BODY_AXIS):
     """Entry-compacted beyond exchange (docs/DISTRIBUTED_TREES.md item 2,
     replacing the block ring in the common case): one psum ORs every
     shard's beyond-open cells into a global NEED mask; each shard
@@ -292,9 +297,14 @@ def _beyond_exchange(xt, beyond_open, m_l, x_l, cell_local, soften,
     ring runs instead (truncation is impossible, matching the single
     chip paths' cap-trips-fallback rule)."""
     ntiles_l, tile = xt.shape[0], xt.shape[1]
+    nlt = ntiles_l * tile                # i-rows this caller evaluates
     C = beyond_open.shape[1]
+    # axes: on a 2-D (body x tile) mesh each tile-shard's beyond_open
+    # only covers its row slice, so the need/overflow reductions must
+    # span BOTH axes (the j-side gather stays on the body axis: the
+    # compacted buffers are identical across tile-shards)
     need = jax.lax.psum(
-        jnp.any(beyond_open, axis=0).astype(jnp.int32), BODY_AXIS) > 0
+        jnp.any(beyond_open, axis=0).astype(jnp.int32), axes) > 0
 
     rowmask = (cell_local < C) & need[jnp.minimum(cell_local, C - 1)]
     rank = jnp.cumsum(rowmask.astype(jnp.int32)) - 1
@@ -308,7 +318,7 @@ def _beyond_exchange(xt, beyond_open, m_l, x_l, cell_local, soften,
     x_g = jax.lax.all_gather(x_b, BODY_AXIS, tiled=True)
     c_g = jax.lax.all_gather(c_b, BODY_AXIS, tiled=True)
     overflow = jax.lax.psum((count > r_budget).astype(jnp.int32),
-                            BODY_AXIS) > 0
+                            axes) > 0
 
     def _exchange(_m, _x, _ex):
         bmask = jnp.take(beyond_open, c_g, axis=1)           # (T, S*R)
@@ -320,11 +330,11 @@ def _beyond_exchange(xt, beyond_open, m_l, x_l, cell_local, soften,
             wr = jnp.where(bmt[None, :], m_g[None, :] / soften(d2r), 0.0)
             return jnp.einsum("bj,bjd->bd", wr, dxr)
 
-        return jax.lax.map(_tile, (xt, bmask)).reshape(nl, dim)
+        return jax.lax.map(_tile, (xt, bmask)).reshape(nlt, dim)
 
     def _ring(_m, _x, _ex):
         return _ring_beyond(xt, beyond_open, _m, _x, list(_ex),
-                            cell_of_visitor, soften, idx, nl, dim, dtype,
+                            cell_of_visitor, soften, idx, nlt, dim, dtype,
                             n_shards)
 
     return jax.lax.cond(overflow, _ring, _exchange,
@@ -420,7 +430,8 @@ def make_partitioned_bvh_step(cfg: SimConfig, n_shards: int,
                               tile: int = 256, halo: int = 1,
                               l_top: int | None = None,
                               use_pallas=False,
-                              beyond_budget: int | None = None):
+                              beyond_budget: int | None = None,
+                              tile_shards: int = 1):
     """Partitioned implicit-BVH step.  Structurally the simpler variant:
     node j at level l covers rows [j * 2^(k-l), (j+1) * 2^(k-l)) of the
     padded power-of-two stream (bvh.h:98-127 semantics), so the halo
@@ -428,9 +439,18 @@ def make_partitioned_bvh_step(cfg: SimConfig, n_shards: int,
     boundaries whenever the L_top node size divides n/S) and the ring
     pass derives visitor cells from row arithmetic, no key transport.
     Per-pair math is the BVH softening (d2^1.5 + eps, bvh.h:297).
-    fp32/f64; requires power-of-two n_shards and tile."""
+    fp32/f64; requires power-of-two n_shards and tile.
+
+    tile_shards > 1 selects the 2-D (body x tile) mesh layout
+    (docs/DISTRIBUTED_TREES.md item 5): sort/heap/halo ride the body
+    axis exactly as in 1-D, each tile-shard evaluates its 1/tile_shards
+    row slice of the local block against the full heap + halo window,
+    and one all_gather along the tile axis reassembles the (n/S, dim)
+    accelerations."""
+    T = int(tile_shards)
     if mesh is None:
-        mesh = body_mesh(n_shards)
+        mesh = body_tile_mesh(n_shards, T) if T > 1 else body_mesh(n_shards)
+    axes = (BODY_AXIS, TILE_AXIS) if T > 1 else BODY_AXIS
     from nbody_tpu.ops.hilbert import hilbert_key_u32pair, quantize
 
     dim, n = cfg.dim, cfg.n
@@ -438,16 +458,19 @@ def make_partitioned_bvh_step(cfg: SimConfig, n_shards: int,
     dtype = np.dtype(cfg.dtype).type
     theta2 = jnp.asarray(theta * theta, dtype)
 
-    if n_shards & (n_shards - 1) or tile & (tile - 1):
-        raise ValueError("partitioned bvh requires power-of-two n_shards "
-                         f"and tile (got {n_shards}, {tile})")
+    if n_shards & (n_shards - 1) or tile & (tile - 1) or T & (T - 1):
+        raise ValueError("partitioned bvh requires power-of-two n_shards, "
+                         f"tile and tile_shards (got {n_shards}, {tile}, "
+                         f"{T})")
     k = max(1, (max(n, 2) - 1).bit_length())       # npad = 2^k
     npad = 1 << k
-    while npad % (n_shards * tile):
+    while npad % (n_shards * tile * T):
         npad *= 2
         k += 1
     nl = npad // n_shards
     ntiles_l = nl // tile
+    nlt = nl // T                      # i-rows per (body, tile) shard
+    ntiles_t = nlt // tile
     halo_w = (2 * halo + 1) * nl
     # L_top: ~16 bodies per node, <= 2^14 nodes, node size divides nl
     L = l_top if l_top is not None else max(1, min(k - 4, 14))
@@ -490,7 +513,12 @@ def make_partitioned_bvh_step(cfg: SimConfig, n_shards: int,
         r0 = jnp.maximum(0, e0)
         r1 = jnp.minimum(npad, (idx + halo + 1) * nl)
 
-        xt = x_l.reshape(ntiles_l, tile, dim)
+        if T > 1:                      # 2-D mesh: this shard's row slice
+            tidx = jax.lax.axis_index(TILE_AXIS)
+            x_i = jax.lax.dynamic_slice_in_dim(x_l, tidx * nlt, nlt, 0)
+        else:
+            x_i = x_l
+        xt = x_i.reshape(ntiles_t, tile, dim)
         epsv = jnp.asarray(eps, dtype)
 
         def range_fn(l):
@@ -506,27 +534,29 @@ def make_partitioned_bvh_step(cfg: SimConfig, n_shards: int,
 
         if use_pallas:
             itp = use_pallas == "interpret"
-            far = _eval_far_pallas(x_l, acc_all, com_all, ms_all, eps,
+            far = _eval_far_pallas(x_i, acc_all, com_all, ms_all, eps,
                                    "poly", itp)
-            near = _eval_near_pallas(x_l, m_e, x_e, r0 - e0, r1 - e0,
+            near = _eval_near_pallas(x_i, m_e, x_e, r0 - e0, r1 - e0,
                                      tile, eps, "poly", itp)
         else:
-            far = _eval_far(xt, acc_all, com_all, ms_all, soften, nl, dim)
+            far = _eval_far(xt, acc_all, com_all, ms_all, soften, nlt, dim)
             jrow = e0 + jnp.arange(halo_w, dtype=jnp.int32)
             mj = jnp.where((jrow >= r0) & (jrow < r1), m_e, 0.0)
-            near = _eval_near(xt, x_e, mj, soften, nl, dim)
+            near = _eval_near(xt, x_e, mj, soften, nlt, dim)
 
         def cell_of_visitor(r, _extras):
             src = (idx - r) % n_shards
             return (src * nl + jnp.arange(nl, dtype=jnp.int32)) >> (k - L)
 
         ring, _need_rows = _beyond_exchange(
-            xt, beyond, m_l, x_l, node, soften, idx, nl, dim, dtype,
-            n_shards, [], cell_of_visitor, r_budget)
+            xt, beyond, m_l, x_l, node, soften, idx, dim, dtype,
+            n_shards, [], cell_of_visitor, r_budget, axes=axes)
 
         acc = jnp.asarray(G, dtype) * (far + near + ring)
-        bc = jax.lax.psum(bc, BODY_AXIS)
-        bm = jax.lax.pmax(bm, BODY_AXIS)
+        if T > 1:
+            acc = jax.lax.all_gather(acc, TILE_AXIS, tiled=True)
+        bc = jax.lax.psum(bc, axes)
+        bm = jax.lax.pmax(bm, axes)
         return (m_l, x_l, v_l, a_l, ao_l, acc, bc, bm, lvl["mass"][0][0])
 
     mapped = _shard_map(shard_fn, mesh, **_SPECS)
@@ -538,7 +568,8 @@ def make_partitioned_octree_step(cfg: SimConfig, n_shards: int,
                                  tile: int = 256, halo: int = 1,
                                  l_top: int | None = None,
                                  use_pallas=False,
-                                 beyond_budget: int | None = None):
+                                 beyond_budget: int | None = None,
+                                 tile_shards: int = 1):
     """Partitioned Morton-cell octree step ((sqrt(d2)+eps)^3 softening,
     octree.h:236-247).  Cell row ranges come from the psum'd counts'
     cumsum and the halo interval SNAPS to cell boundaries (cells are
@@ -548,9 +579,14 @@ def make_partitioned_octree_step(cfg: SimConfig, n_shards: int,
     (n, ...) jax.Arrays sharded over the body mesh; the returned state is
     in the NEW Morton order (the sort happens inside, exactly like the
     single-chip tree engines re-sort every step).  aux carries the
-    beyond-halo diagnostics and the root mass."""
+    beyond-halo diagnostics and the root mass.
+
+    tile_shards > 1 selects the 2-D (body x tile) mesh layout -- see
+    make_partitioned_bvh_step; identical row-slice treatment."""
+    T = int(tile_shards)
     if mesh is None:
-        mesh = body_mesh(n_shards)
+        mesh = body_tile_mesh(n_shards, T) if T > 1 else body_mesh(n_shards)
+    axes = (BODY_AXIS, TILE_AXIS) if T > 1 else BODY_AXIS
     from nbody_tpu.ops.octree import max_depth, morton_keys, robust_quant_box
 
     dim, n = cfg.dim, cfg.n
@@ -563,9 +599,11 @@ def make_partitioned_octree_step(cfg: SimConfig, n_shards: int,
     C = nbranch ** L
     theta2 = jnp.asarray(theta * theta, dtype)
 
-    npad = _round_up(n, n_shards * tile)
+    npad = _round_up(n, n_shards * tile * T)
     nl = npad // n_shards
     ntiles_l = nl // tile
+    nlt = nl // T                      # i-rows per (body, tile) shard
+    ntiles_t = nlt // tile
     halo_w = (2 * halo + 1) * nl
     r_budget = beyond_budget if beyond_budget else max(256, nl // 4)
 
@@ -625,7 +663,12 @@ def make_partitioned_octree_step(cfg: SimConfig, n_shards: int,
         hi_t = jnp.where(ce_arr[c1] == r1, r1, cs_arr[c1])
         hi_t = jnp.maximum(hi_t, lo_t)
 
-        xt = x_l.reshape(ntiles_l, tile, dim)
+        if T > 1:                      # 2-D mesh: this shard's row slice
+            tidx = jax.lax.axis_index(TILE_AXIS)
+            x_i = jax.lax.dynamic_slice_in_dim(x_l, tidx * nlt, nlt, 0)
+        else:
+            x_i = x_l
+        xt = x_i.reshape(ntiles_t, tile, dim)
         epsv = jnp.asarray(eps, dtype)
 
         def range_fn(l):
@@ -642,25 +685,27 @@ def make_partitioned_octree_step(cfg: SimConfig, n_shards: int,
 
         if use_pallas:
             itp = use_pallas == "interpret"
-            far = _eval_far_pallas(x_l, acc_all, com_all, ms_all, eps,
+            far = _eval_far_pallas(x_i, acc_all, com_all, ms_all, eps,
                                    "sqrt3", itp)
-            near = _eval_near_pallas(x_l, m_e, x_e, lo_t - e0, hi_t - e0,
+            near = _eval_near_pallas(x_i, m_e, x_e, lo_t - e0, hi_t - e0,
                                      tile, eps, "sqrt3", itp)
         else:
-            far = _eval_far(xt, acc_all, com_all, ms_all, soften, nl, dim)
+            far = _eval_far(xt, acc_all, com_all, ms_all, soften, nlt, dim)
             mj = jnp.where((jrow >= lo_t) & (jrow < hi_t), m_e, 0.0)
-            near = _eval_near(xt, x_e, mj, soften, nl, dim)
+            near = _eval_near(xt, x_e, mj, soften, nlt, dim)
 
         def cell_of_visitor(r, extras):
             return (extras[0] >> shift_L).astype(jnp.int32)
 
         ring, _need_rows = _beyond_exchange(
-            xt, beyond, m_l, x_l, cell, soften, idx, nl, dim, dtype,
-            n_shards, [keys], cell_of_visitor, r_budget)
+            xt, beyond, m_l, x_l, cell, soften, idx, dim, dtype,
+            n_shards, [keys], cell_of_visitor, r_budget, axes=axes)
 
         acc = jnp.asarray(G, dtype) * (far + near + ring)
-        bc = jax.lax.psum(bc, BODY_AXIS)
-        bm = jax.lax.pmax(bm, BODY_AXIS)
+        if T > 1:
+            acc = jax.lax.all_gather(acc, TILE_AXIS, tiled=True)
+        bc = jax.lax.psum(bc, axes)
+        bm = jax.lax.pmax(bm, axes)
         return (m_l, x_l, v_l, a_l, ao_l, acc, bc, bm, lvl["mass"][0][0])
 
     mapped = _shard_map(shard_fn, mesh, **_SPECS)

@@ -50,6 +50,7 @@ class EngineOptions:
     fix_z: bool = False         # fix the collapsed-force z-freeze quirk
     mesh: int = 1               # number of devices to shard bodies over
     mesh_layout: str = "replicated"  # replicated|partitioned tree layout
+    mesh_tile: int = 1          # partitioned 2-D mesh: tile-axis shards
     sort_every: int = 1         # re-sort cadence for tree engines
     traversal: str = "group"    # group|per-body : BVH traversal strategy
     group_tile: int = 512       # bodies per tile in group traversal

@@ -102,8 +102,9 @@ class BVHEngine:
                 make_partitioned_bvh_step,
             )
 
-            inner = make_partitioned_bvh_step(cfg, opts.mesh,
-                                          use_pallas=_use_pallas_eval(cfg, opts))
+            inner = make_partitioned_bvh_step(
+                cfg, opts.mesh, tile_shards=opts.mesh_tile,
+                use_pallas=_use_pallas_eval(cfg, opts))
 
             def step(state, k):
                 st, aux = inner(state, k)
@@ -227,8 +228,9 @@ class OctreeEngine:
                     make_partitioned_octree_step,
                 )
 
-                inner = make_partitioned_octree_step(cfg, opts.mesh,
-                                          use_pallas=_use_pallas_eval(cfg, opts))
+                inner = make_partitioned_octree_step(
+                    cfg, opts.mesh, tile_shards=opts.mesh_tile,
+                    use_pallas=_use_pallas_eval(cfg, opts))
 
                 def step(state, k):
                     st, aux = inner(state, k)

@@ -583,3 +583,58 @@ def test_partitioned_beyond_budget_overflow_fallback(f32_eps):
     # both paths evaluate the same exact pairs; only summation order
     # differs (exchange buffer order vs ring rotation order)
     assert np.abs(a1 - a2).max() / (np.abs(a1).max() + 1e-30) < 1e-4
+
+
+@pytest.mark.parametrize("maker_name", ["octree", "bvh"])
+def test_partitioned_2d_mesh_matches_1d(maker_name, f32_eps):
+    """2-D (body x tile) mesh layout (docs/DISTRIBUTED_TREES.md item 5)
+    vs the 1-D layout at identical n_shards: the tile axis only
+    row-slices the force evaluation (each tile-shard evaluates its
+    1/T rows against the full heap + halo and an all_gather
+    reassembles), so per-row results must match the 1-D step to f32
+    reduction-order noise."""
+    from nbody_tpu.parallel.tree_partitioned import (
+        make_partitioned_bvh_step,
+        make_partitioned_octree_step,
+    )
+    from nbody_tpu.state import SystemState
+
+    maker = (make_partitioned_octree_step if maker_name == "octree"
+             else make_partitioned_bvh_step)
+    n, dim = 4096, 3
+    rng = np.random.default_rng(11)
+    x = (rng.normal(0, 1, (4, dim))[rng.integers(0, 4, n)] * 30
+         + rng.normal(0, 1, (n, dim))).astype(np.float32)
+    m = rng.uniform(0.1, 1.0, n).astype(np.float32)
+    cfg = SimConfig(n=n, dim=dim, dtype=np.float32, theta=0.5, dt=0.0)
+    z = jnp.zeros((n, dim), jnp.float32)
+    st = SystemState(m=jnp.asarray(m), x=jnp.asarray(x), v=z, a=z, ao=z)
+    s_1d, aux1 = maker(cfg, 4, tile=64)(st)
+    s_2d, aux2 = maker(cfg, 4, tile=64, tile_shards=2)(st)
+    assert int(aux1["beyond_halo_cells"]) == int(aux2["beyond_halo_cells"])
+    np.testing.assert_array_equal(np.asarray(s_1d.x), np.asarray(s_2d.x))
+    a1, a2 = np.asarray(s_1d.a), np.asarray(s_2d.a)
+    assert np.abs(a1 - a2).max() / (np.abs(a1).max() + 1e-30) < 1e-5
+
+
+def test_partitioned_2d_mesh_pallas_interpret(f32_eps):
+    """The kernelized path on the 2-D mesh: each tile-shard's row slice
+    rides the same masked-bits / windowed kernels; must match the jnp
+    2-D path."""
+    from nbody_tpu.parallel.tree_partitioned import (
+        make_partitioned_octree_step,
+    )
+    from nbody_tpu.state import SystemState
+
+    n, dim = 4096, 2
+    rng = np.random.default_rng(12)
+    x = rng.uniform(-1, 1, (n, dim)).astype(np.float32)
+    m = rng.uniform(0.1, 1.0, n).astype(np.float32)
+    cfg = SimConfig(n=n, dim=dim, dtype=np.float32, theta=0.5, dt=0.0)
+    z = jnp.zeros((n, dim), jnp.float32)
+    st = SystemState(m=jnp.asarray(m), x=jnp.asarray(x), v=z, a=z, ao=z)
+    s_jnp, _ = make_partitioned_octree_step(cfg, 2, tile_shards=4)(st)
+    s_pal, _ = make_partitioned_octree_step(
+        cfg, 2, tile_shards=4, use_pallas="interpret")(st)
+    a1, a2 = np.asarray(s_jnp.a), np.asarray(s_pal.a)
+    assert np.abs(a1 - a2).max() / (np.abs(a1).max() + 1e-30) < 1e-4

@@ -797,7 +797,7 @@ def test_word_extraction_matches_wide(algo, f32_eps):
 
 
 @pytest.mark.parametrize("algo", ["octree", "bvh"])
-@pytest.mark.parametrize("token", ["epg8", "ftg2"])
+@pytest.mark.parametrize("token", ["epg8", "epg16", "ftg2"])
 def test_step_packing_ablates_match_default(algo, token, f32_eps):
     """Round-3 step-count levers behind A/B tokens -- epg8 (8 near-field
     entries per grid step instead of 4) and ftg2 (2 far-field body-tiles
