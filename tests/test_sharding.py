@@ -611,6 +611,9 @@ def test_partitioned_2d_mesh_matches_1d(maker_name, f32_eps):
     st = SystemState(m=jnp.asarray(m), x=jnp.asarray(x), v=z, a=z, ao=z)
     s_1d, aux1 = maker(cfg, 4, tile=64)(st)
     s_2d, aux2 = maker(cfg, 4, tile=64, tile_shards=2)(st)
+    # the clustered distribution produces beyond-halo opens, so the
+    # 2-D need/overflow reductions (psum over BOTH axes) are exercised
+    assert int(aux2["beyond_halo_cells"]) > 0
     assert int(aux1["beyond_halo_cells"]) == int(aux2["beyond_halo_cells"])
     np.testing.assert_array_equal(np.asarray(s_1d.x), np.asarray(s_2d.x))
     a1, a2 = np.asarray(s_1d.a), np.asarray(s_2d.a)
