@@ -90,6 +90,15 @@ def main() -> int:
         rec["partitioned_octree_s"] = timed(
             lambda s=state: pstep(s)[0].x)
 
+        # 2-D (body x tile) layout at the same device count: total work
+        # = 1-D force work (rows divide across T) + (T-1) extra
+        # replicated sort/heap copies -- this row measures that overhead
+        # (on real chips the tile axis buys 1/T force wall-clock)
+        if S >= 4:
+            pstep2 = make_partitioned_octree_step(cfg2, S // 2,
+                                                  tile_shards=2)
+            rec["partitioned_2d_s"] = timed(lambda s=state: pstep2(s)[0].x)
+
         # weak configuration: n scales with S (per-shard n/S constant)
         nw = n * S // 8
         cfgw, statew = build_galaxy_model(nw, 2, np.float32)
@@ -103,14 +112,18 @@ def main() -> int:
     if a.out:
         with open(a.out, "w") as fh:
             fh.write("| S | ring all-pairs | sharded bvh | sharded octree "
-                     "| partitioned octree | partitioned weak (n=n*S/8) |\n")
-            fh.write("|---|---|---|---|---|---|\n")
+                     "| partitioned octree | partitioned 2-D (S/2 x 2) "
+                     "| partitioned weak (n=n*S/8) |\n")
+            fh.write("|---|---|---|---|---|---|---|\n")
             for r in rows:
+                p2 = (f"{r['partitioned_2d_s']:.3f} s"
+                      if "partitioned_2d_s" in r else "-")
                 fh.write(
                     f"| {r['S']} | {r['ring_allpairs_s']:.3f} s "
                     f"| {r['sharded_bvh_s']:.3f} s "
                     f"| {r['sharded_octree_s']:.3f} s "
                     f"| {r['partitioned_octree_s']:.3f} s "
+                    f"| {p2} "
                     f"| {r['partitioned_weak_s']:.3f} s "
                     f"(n={r['partitioned_weak_n']}) |\n")
     return 0
