@@ -228,12 +228,17 @@ def bvh_step_force(state: SystemState, theta: float, G: float, eps: float,
     the reference's); "per-body" is the faithful reference walk.
     """
     if true_curve is None:
-        # the fast path sorts along the REAL 3-D Hilbert curve: its
-        # windowed near field and node-box tightness are locality-bound,
-        # and the reference's partial transform (vec.h:328) leaves 8-cell
-        # jumps between consecutive bodies.  The faithful paths keep the
-        # reference's order (body order is user-visible via print-state).
-        true_curve = bool(use_pallas) and state.x.shape[1] == 3
+        # ALL paths keep the reference's quirk-curve sort order
+        # (vec.h:328 partial transform): body order is user-visible
+        # (print-state, positions.bin), so the fast path must permute
+        # identically to the faithful paths and the reference binary or
+        # elementwise output comparisons (ci/check_state.py:43-50) break.
+        # The real 3-D curve was measured perf-NEUTRAL on the fast path
+        # (1.38 s vs 1.36 s, BASELINE.md design-space table) -- the
+        # outside-window opens it was meant to cut are genuine mid-range
+        # halo nodes, not curve-seam artifacts.  Opt in via
+        # true_curve=True if the honest curve is wanted.
+        true_curve = False
     if resort:
         xmin, xmax = aabb_of_points(state.x, eps)
         perm = hilbert_sort_perm(state.x, xmin, xmax, true_curve=true_curve)

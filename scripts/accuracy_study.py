@@ -46,6 +46,17 @@ THETA = 0.5
 PREROLL = 50
 
 
+def _canon_l1(xa, xb):
+    """L1 between two position frames paired in canonical (lexicographic)
+    order instead of array order — immune to sort-permutation drift.
+    Caveat: near-coincident bodies can mispair, but mispairs of nearly
+    identical positions contribute ~nothing to the L1."""
+    def canon(x):
+        return x[np.lexsort(tuple(x[:, d] for d in range(x.shape[1] - 1,
+                                                         -1, -1)))]
+    return float(np.abs(canon(xa) - canon(xb)).sum())
+
+
 def _jax_setup():
     import jax
 
@@ -135,6 +146,8 @@ def main():
     p.add_argument("n", nargs="?", type=int, default=16384)
     p.add_argument("steps", nargs="?", type=int, default=25)
     p.add_argument("--dims", default="2,3")
+    p.add_argument("--algos", default="bvh,octree",
+                   help="engine subset (e.g. re-run one row)")
     p.add_argument("--evolved", action="store_true",
                    help=f"pre-roll {PREROLL} fp32 fast steps first")
     p.add_argument("--no-ap-oracle", action="store_true",
@@ -148,7 +161,7 @@ def main():
     with tempfile.TemporaryDirectory() as tmp:
         for dim in dims:
             state0 = preroll_state(N, dim, PREROLL) if a.evolved else None
-            for algo in ("bvh", "octree"):
+            for algo in a.algos.split(","):
                 print(f"# {algo} {dim}-D n={N} steps={STEPS} "
                       f"evolved={a.evolved} ...", file=sys.stderr, flush=True)
                 our_64, _ = evolve_ours(algo, N, dim, np.float64, STEPS,
@@ -163,6 +176,13 @@ def main():
                     scale = float(np.abs(our_64).sum())
                     row["ours_fp32fast_vs_f64group"] = (
                         float(np.abs(our_32 - our_64).sum()) / scale)
+                    # order-independent cross-check: if this is far below
+                    # the elementwise column, the gap is body-ORDER (sort
+                    # permutation), not physics (the round-4 true-curve
+                    # artifact was exactly this; the fast path now keeps
+                    # the quirk-curve order, so the two should agree)
+                    row["ours_fp32fast_vs_f64group_canon"] = _canon_l1(
+                        our_32, our_64) / scale
                     # the reference legs need the same start; only the
                     # fresh configuration is reproducible in the binary
                     if not a.evolved:
@@ -184,6 +204,8 @@ def main():
                         return float(np.abs(x - y).sum()) / scale
 
                     row["ours_fp32fast_vs_f64group"] = l1(our_32, our_64)
+                    row["ours_fp32fast_vs_f64group_canon"] = _canon_l1(
+                        our_32, our_64) / scale
                     row["ours_fp32fast_vs_oracle"] = l1(our_32, x_oracle)
                     row["ours_f64group_vs_oracle"] = l1(our_64, x_oracle)
                     # the reference binary cannot reproduce the evolved

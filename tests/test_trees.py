@@ -136,6 +136,23 @@ def test_bvh_permutes_state(f32_eps):
     np.testing.assert_array_equal(np.asarray(out.m), np.asarray(m[perm]))
 
 
+def test_bvh_fast_path_keeps_reference_order(f32_eps):
+    """The TPU fast path (use_pallas) permutes bodies by the SAME quirk
+    Hilbert curve as the faithful path and the reference binary
+    (vec.h:328): body order is user-visible (positions.bin, print-state),
+    so a different curve makes fast-path output an elementwise-garbage
+    permutation of the reference's even when the physics is exact
+    (measured: pos L1 0.64 at step 1, canonical L1 3e-8 — BASELINE.md
+    design-space table, true-3-D-Hilbert row)."""
+    m, x = _system(512, 3, clustered=True, seed=9)
+    st = _state(m, x)
+    out, _, _ = bvh_step_force(st, 0.5, 1.0, f32_eps, traversal="group",
+                               use_pallas="interpret")
+    xmin, xmax = aabb_of_points(x, f32_eps)
+    perm = hilbert_sort_perm(x, xmin, xmax)  # quirk curve (default)
+    np.testing.assert_array_equal(np.asarray(out.x), np.asarray(x[perm]))
+
+
 # --------------------------------------------------- approximation quality
 
 @pytest.mark.parametrize("engine", ["bvh", "octree"])
