@@ -21,13 +21,25 @@ the reference where all-pairs never sorts).
 """
 
 import json
+import os
 import sys
 
 import numpy as np
 
 N = 1 << 20
+TREE_N = 1_000_000
 REPEATS = 4
 TARGET = 1e12  # north-star interactions/sec/chip
+
+# Last-resort mode (set by the parent for its metric children): the axon
+# tunnel was NEVER reachable within the wall budget, so measure reduced-N
+# CPU numbers rather than emit an all-null record a third round running.
+# These are NOT comparable to the TPU baseline and are emitted under a
+# separate "cpu_fallback" key with the headline fields left null.
+CPU_FALLBACK = os.environ.get("NBODY_BENCH_CPU") == "1"
+if CPU_FALLBACK:
+    N = 1 << 12
+    TREE_N = 32768
 
 # v5e VPU arithmetic peak for roofline context: 8x128 lanes x 4 ALUs at
 # ~1.5 GHz (clock derived from the public v5e spec: 197 bf16 TFLOP/s =
@@ -110,7 +122,7 @@ def measure_tree(algorithm: str, evolve_steps: int = 0, dim: int = 2) -> float:
     from nbody_tpu.sim.engines import EngineOptions, get_engine
     from nbody_tpu.utils.measure import scan_seconds_per_step
 
-    cfg, state = build_galaxy_model(1_000_000, dim, np.float32)
+    cfg, state = build_galaxy_model(TREE_N, dim, np.float32)
     step = get_engine(algorithm).make_step(cfg, EngineOptions())
 
     from functools import partial
@@ -178,16 +190,22 @@ METRICS = {
 
 def _run_one(name: str) -> int:
     """Child mode: run a single metric, print its JSON on the last line."""
+    if CPU_FALLBACK:
+        import jax
+
+        jax.config.update("jax_platforms", "cpu")
     fn, _ = METRICS[name]
     print(json.dumps({"result": fn()}))
     return 0
 
 
-BENCH_BUDGET_S = 6600  # global wall budget: never run longer than ~110 min
+# global wall budget: never run longer than ~110 min (env-overridable for
+# harness tests and driver tuning)
+BENCH_BUDGET_S = int(os.environ.get("NBODY_BENCH_BUDGET_S", 6600))
 _t0 = None
 
 
-def _measure_safe(errors: dict, name: str):
+def _measure_safe(errors: dict, name: str, cpu: bool = False):
     """One metric must never lose the whole JSON (BENCH_r02 was rc=1
     because one failed compile aborted main before the print).  Each
     metric runs in its own SUBPROCESS with a hard timeout (hangs from a
@@ -201,6 +219,9 @@ def _measure_safe(errors: dict, name: str):
     if _t0 is None:
         _t0 = time.monotonic()
     _, tmo = METRICS[name]
+    env = dict(os.environ, NBODY_BENCH_CPU="1") if cpu else None
+    if cpu:
+        tmo = min(tmo, 900)
     for attempt in (0, 1):
         left = BENCH_BUDGET_S - (time.monotonic() - _t0)
         if left < 60:
@@ -212,6 +233,7 @@ def _measure_safe(errors: dict, name: str):
             _child = subprocess.Popen(
                 [sys.executable, __file__, "--metric", name],
                 stdout=subprocess.PIPE, stderr=subprocess.PIPE, text=True,
+                env=env,
             )
             out, serr = _child.communicate(timeout=eff_tmo)
             last = out.strip().splitlines()[-1] if out else ""
@@ -272,6 +294,13 @@ def _emit() -> None:
             record[f"{algo}_1m_{dim}d_sec_per_step"] = r
             re_ = _results.get(f"{algo}_{dim}d_evolved")
             record[f"{algo}_1m_{dim}d_evolved_sec_per_step"] = re_
+    cpu = {k[4:]: v for k, v in _results.items() if k.startswith("cpu_")}
+    if cpu:
+        record["cpu_fallback"] = {
+            "note": "reduced-N CPU measurements (TPU tunnel never "
+                    "reachable): allpairs N=4096, trees N=32768 galaxy",
+            **cpu,
+        }
     if _errors:
         record["errors"] = dict(_errors)
     print(json.dumps(record), flush=True)
@@ -321,6 +350,7 @@ def main() -> int:
     _t0 = time.monotonic()
 
     _wait_s = {"total": 0.0}
+    _ever_alive = {"v": False}
 
     def _await_tunnel() -> bool:
         """PERSISTENT liveness gate (round-3 lesson: two probes in 9
@@ -328,7 +358,9 @@ def main() -> int:
         on worker-restart timescales).  Probe on a 5-minute backoff for
         the WHOLE remaining wall budget -- between probes do nothing, so
         a dead tunnel costs zero child timeouts.  Returns False when the
-        remaining budget can no longer fit a metric."""
+        remaining budget can no longer fit a metric.  While the tunnel
+        has NEVER been alive, a larger reserve is kept back so the CPU
+        fallback (main) still fits."""
         probes = 0
         w0 = time.monotonic()
         while True:
@@ -336,18 +368,20 @@ def main() -> int:
             _wait_s["total"] = _wait_s.get("base", 0.0) + (
                 time.monotonic() - w0)
             if alive:
+                _ever_alive["v"] = True
                 _wait_s["base"] = _wait_s["total"]
                 if _wait_s["total"] > 30:
                     _errors["tunnel_waited_s"] = int(_wait_s["total"])
                 return True
             probes += 1
+            reserve = 360 if _ever_alive["v"] else 2400
             left = BENCH_BUDGET_S - (time.monotonic() - _t0)
-            if left < 360:   # not enough budget left for even one metric
+            if left < reserve:   # no budget left for a (TPU) metric
                 _errors["tunnel"] = (
                     f"device liveness probe failed {probes}x over "
                     f"{int(_wait_s['total'])}s of waiting")
                 return False
-            time.sleep(min(300, max(60, left - 360)))
+            time.sleep(min(300, max(60, left - reserve)))
 
     # priority order: headline first, so a budget/timeout abort still
     # records the numbers the verdict tracks (3-D trees, then 2-D, then
@@ -364,6 +398,19 @@ def main() -> int:
         r = _measure_safe(_errors, name)
         if r is not None:
             _results[name] = r
+    if not _results and not _ever_alive["v"]:
+        # third-round-forfeit guard: the TPU was NEVER reachable.  Record
+        # reduced-N CPU measurements, clearly labeled, instead of an
+        # all-null line (rounds 2-3 both recorded nothing).
+        _errors["tunnel_fallback"] = (
+            "TPU never reachable within budget; cpu_fallback numbers are "
+            "reduced-N CPU (allpairs N=4096, trees N=32768) and NOT "
+            "comparable to the TPU baseline")
+        for name in ("allpairs_3d", "octree_3d", "bvh_3d",
+                     "octree_2d", "bvh_2d", "allpairs_2d"):
+            r = _measure_safe(_errors, name, cpu=True)
+            if r is not None:
+                _results["cpu_" + name] = r
     _emit()
     return 0
 
