@@ -266,7 +266,11 @@ def masked_eval_pallas(
 
 def _masked_bits_kernel(dim, eps, softening, tb, tg, xi_ref, xjt_ref,
                         mj_ref, words_ref, out_ref):
-    """masked_eval with a bit-packed mask: words (1, tg, TJ//32) int32.
+    """masked_eval with a bit-packed mask: words (1, 1, tg, TJ//32) int32
+    (leading singleton dims are the tile-row / j-chunk grid axes: jax
+    >= 0.9 requires the last two block dims to equal the array dims or
+    be (8, 128)-divisible, so the j-chunk axis lives in the GRID-mapped
+    leading dims rather than as a 32-word slice of the packed row).
 
     tg > 1 groups tg consecutive body TILES into one grid step (each
     step pays ~2 us of Mosaic sequencing; tg=2 halves the step count):
@@ -281,13 +285,13 @@ def _masked_bits_kernel(dim, eps, softening, tb, tg, xi_ref, xjt_ref,
     xi = xi_ref[:, :]                                        # (tg*tb, dim)
     dx, r = _pair_weight(dim, eps, softening, xi, xjt_ref)
     if tg == 1:
-        mask = _unpack_bits(words_ref[0, :, :], xi.dtype)    # (1, TJ)
+        mask = _unpack_bits(words_ref[0, 0, :, :], xi.dtype)  # (1, TJ)
         w = (mask[0, :] * mj_ref[0, :])[None, :] * r
     else:
         rows = jax.lax.broadcasted_iota(jnp.int32, (tg * tb, 1), 0) // tb
         mask = jnp.zeros((tg * tb, r.shape[1]), xi.dtype)
         for g in range(tg):
-            mg = _unpack_bits(words_ref[0, g:g + 1, :], xi.dtype)
+            mg = _unpack_bits(words_ref[0, 0, g:g + 1, :], xi.dtype)
             mask = mask + jnp.where(rows == g, mg, 0.0)
         w = (mask * mj_ref[0, :][None, :]) * r
     for d in range(dim):
@@ -329,25 +333,30 @@ def masked_eval_bits_pallas(
         raise ValueError("words must be pack_mask_bits(mask, tile_j)")
     tg = tile_group
     ntg = ntiles
-    xi_g, words_g = xi, words[:, None, :]
+    nw, nc = tile_j // 32, Wp // tile_j
+    xi_g, words_g = xi, words
     if tg > 1:
         # pad the tile axis to a tg multiple with zero-mask tiles
         ntg = -(-ntiles // tg) * tg
         if ntg != ntiles:
             xi_g = jnp.pad(xi, ((0, (ntg - ntiles) * tb), (0, 0)))
-            words_g = jnp.pad(words, ((0, ntg - ntiles), (0, 0)))[:, None, :]
-        words_g = words_g.reshape(ntg // tg, tg, Wp // 32)
+            words_g = jnp.pad(words, ((0, ntg - ntiles), (0, 0)))
+    # (rows, j-chunk, tg, words-per-chunk): the j-chunk axis must be a
+    # leading GRID-mapped dim (block last-two dims == array dims, the
+    # jax 0.9 Pallas divisibility rule); tg == 1 is a pure reshape,
+    # tg > 1 pays one small transpose (Wp/8 bytes per tile row)
+    words_g = words_g.reshape(ntg // tg, tg, nc, nw).swapaxes(1, 2)
 
     kernel = functools.partial(_masked_bits_kernel, dim, float(eps),
                                softening, tb, tg)
     out = pl.pallas_call(
         kernel,
-        grid=(ntg // tg, Wp // tile_j),
+        grid=(ntg // tg, nc),
         in_specs=[
             pl.BlockSpec((tg * tb, dim), lambda t, c: (t, 0)),
             pl.BlockSpec((dim, tile_j), lambda t, c: (0, c)),
             pl.BlockSpec((1, tile_j), lambda t, c: (0, c)),
-            pl.BlockSpec((1, tg, tile_j // 32), lambda t, c: (t, 0, c)),
+            pl.BlockSpec((1, 1, tg, nw), lambda t, c: (t, c, 0, 0)),
         ],
         out_specs=pl.BlockSpec((tg * tb, dim), lambda t, c: (t, 0)),
         out_shape=jax.ShapeDtypeStruct((ntg * tb, dim), dtype),
@@ -545,7 +554,7 @@ def _window_nodemask_kernel(dim, eps, softening, tb, jb, wj, nv, S,
     node = lane // S                                        # (1, jb) in [0, nv)
     sel = jnp.zeros((1, jb), xi.dtype)
     for v in range(nv):
-        sel = sel + jnp.where(node == v, win_ref[0, 0, v], 0.0)
+        sel = sel + jnp.where(node == v, win_ref[0, 0, 0, v], 0.0)
     dx, r = _pair_weight(dim, eps, softening, xi, xjt_ref)
     w = (sel[0, :] * mj_ref[0, :])[None, :] * r
     for d in range(dim):
@@ -603,7 +612,11 @@ def window_eval_nodemask_pallas(
             pl.BlockSpec((tb, dim), lambda t, c, w0_ref: (t, 0)),
             pl.BlockSpec((dim, jb), jmap),
             pl.BlockSpec((1, jb), jmap),
-            pl.BlockSpec((1, 1, nv), lambda t, c, w0_ref: (t, 0, c)),
+            # window-chunk axis as a leading grid-mapped dim (jax 0.9
+            # requires block last-two dims == array dims or (8, 128)-
+            # divisible; the per-chunk nv node slots are contiguous in
+            # the wnodes row, so this is a pure reshape)
+            pl.BlockSpec((1, 1, 1, nv), lambda t, c, w0_ref: (t, c, 0, 0)),
         ],
         out_specs=pl.BlockSpec((tb, dim), lambda t, c, w0_ref: (t, 0)),
     )
@@ -618,7 +631,7 @@ def window_eval_nodemask_pallas(
         ),
         interpret=interpret,
     )(w0.astype(jnp.int32), xi, xjt, mj.reshape(1, -1),
-      in_win.astype(dtype)[:, None, :])
+      in_win.astype(dtype).reshape(ntiles, window_tiles // wj, 1, nv))
     return out
 
 
