@@ -965,13 +965,23 @@ def compute_force_grouped_fast(
         pad_gbe = GBE_cap                                     # lo==hi: no-op
         t_idx = jnp.arange(ntiles, dtype=jnp.int32)
         extra_over = jnp.zeros((ntiles,), jnp.bool_)
+        # Wide extraction is the PRODUCTION default.  The word-compacted
+        # variant (round-3, never hardware-validated) expands each open
+        # cell into at most MAXB=4 block entries and flags any tile
+        # containing a wider cell into the exact fallback -- but the 1M
+        # galaxy's core L* cells span ~75 S-blocks and are MAC-accepted
+        # open by EVERY tile, so it flagged 1954/1954 tiles and the step
+        # degenerated to a full direct sum (measured round 4: 11.3 s/step
+        # vs 1.6 s, results/r4/knob_oct.jsonl + bench_run2.json).  It
+        # stays as an opt-in A/B (ablate="wordextract") for workloads
+        # whose open cells are narrow.
         use_wordex = (C % 32 == 0 and C >= 32
+                      and "wordextract" in ablate.split(",")
                       and "widextract" not in ablate.split(","))
         if not use_wordex:
-            # round-2 wide extraction (kept under ablate="widextract" for
-            # A/B): a (T, GBE) shared-index column gather + (T, GBE) row
-            # sort -- both scale with the DENSE width, not the ~100
-            # actual opens per tile
+            # wide extraction: a (T, GBE) shared-index column gather +
+            # (T, GBE) row sort -- both scale with the DENSE gbe width
+            # (C + nblocks), not the ~100 actual opens per tile
             open_c = jnp.concatenate(
                 [open_mask, jnp.zeros((ntiles, 1), jnp.bool_)], axis=1)
             open_gbe = jnp.take(open_c, gbe_cell, axis=1)     # shared-index

@@ -771,10 +771,13 @@ def test_packed_masks_match_dense(algo, f32_eps):
 
 @pytest.mark.parametrize("algo", ["octree", "bvh"])
 def test_word_extraction_matches_wide(algo, f32_eps):
-    """Round-3 lever: word-compacted entry extraction (bit-fold open
-    masks -> narrow sorts) must yield BIT-identical forces to the wide
-    take+sort it replaces (ablate="widextract") -- same entry stream by
-    construction when no cap overflows."""
+    """Word-compacted entry extraction (bit-fold open masks -> narrow
+    sorts) must yield BIT-identical forces to the wide take+sort -- same
+    entry stream by construction when no cap overflows.  Octree: word
+    path is OPT-IN (ablate="wordextract"; its MAXB=4 per-cell block cap
+    flagged every tile at n=1M galaxy, round 4) and wide is production.
+    BVH: word path is production (fixed-size residual nodes, no block
+    expansion) and wide is the A/B (ablate="widextract")."""
     from nbody_tpu.ops.geometry import scalar_bounds
     from nbody_tpu.ops.octree import max_depth as odepth, morton_sort, \
         robust_quant_box
@@ -794,11 +797,11 @@ def test_word_extraction_matches_wide(algo, f32_eps):
         ms, xs, ks, _ = morton_sort(m, x, lo_r, hi_r, depth)
         a0, i0 = compute_force_grouped_fast(ms, xs, ks, lo_r, hi_r, depth,
                                             0.5, 1.0, f32_eps,
-                                            interpret=True)
+                                            interpret=True,
+                                            ablate="wordextract")
         a1, _ = compute_force_grouped_fast(ms, xs, ks, lo_r, hi_r, depth,
                                            0.5, 1.0, f32_eps,
-                                           interpret=True,
-                                           ablate="widextract")
+                                           interpret=True)
     else:
         xmin, xmax = aabb_of_points(x, f32_eps)
         perm = hilbert_sort_perm(x, xmin, xmax, true_curve=True)
@@ -890,7 +893,8 @@ def test_octree_word_extract_maxb_overflow_no_corruption(f32_eps):
     ms, xs, ks, _ = morton_sort(m, x, lo_r, hi_r, depth)
     a, info = compute_force_grouped_fast(
         ms, xs, ks, lo_r, hi_r, depth, 0.5, 1.0, f32_eps,
-        tile=512, s_block=128, window_tiles=1, interpret=True, epg=1)
+        tile=512, s_block=128, window_tiles=1, interpret=True, epg=1,
+        ablate="wordextract")
     # the kb > MAXB overflow must actually trigger (extra_over tiles),
     # but NOT flag every tile -- an unflagged receiver must exist
     nfb = int(info["fallback_tiles"])
