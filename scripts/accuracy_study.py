@@ -111,6 +111,45 @@ def evolve_ours(algo, n, dim, dtype, steps, theta, fast, state0=None):
     return np.asarray(state.x, np.float64), state
 
 
+def force_at_state(algo, n, dim, dtype, theta, fast, state0=None):
+    """One dt=0 step: the sort/build/force pipeline runs unchanged but
+    positions never move, so state.a afterwards is the engine's force
+    evaluated EXACTLY at the start positions (leapfrog computes a_new
+    after the x-update; dt=0 makes that a no-op).  Returns (a, m, x) in
+    the engine's OWN final body order (bvh permutes state like the
+    reference, reference src/hilbert.h sort; octree scatters back)."""
+    _jax_setup()
+    import jax.numpy as jnp
+
+    from nbody_tpu.models import build_galaxy_model
+    from nbody_tpu.state import SystemState
+
+    cfg, state = build_galaxy_model(n, dim, dtype)
+    cfg = cfg.replace(theta=theta, dt=0.0)
+    if state0 is not None:
+        state = SystemState(*(jnp.asarray(np.asarray(f), cfg.dtype)
+                              for f in (state0.m, state0.x, state0.v,
+                                        state0.a, state0.ao)))
+    step = _make_step(algo, cfg, dtype, fast)
+    state, _ = step(state, 0)
+    return (np.asarray(state.a, np.float64),
+            np.asarray(state.m, np.float64),
+            np.asarray(state.x, np.float64), cfg)
+
+
+def oracle_force(m64, x64, cfg):
+    """f64 all-pairs force at the exact positions a tree leg evaluated
+    at -- computed per leg, so body order never needs re-matching."""
+    import jax.numpy as jnp
+
+    from nbody_tpu.ops.allpairs import allpairs_accel
+
+    return np.asarray(
+        allpairs_accel(jnp.asarray(m64), jnp.asarray(x64),
+                       float(cfg.G), float(cfg.eps), chunk=1024),
+        np.float64)
+
+
 def preroll_state(n, dim, steps):
     """Common evolved start: fp32 fast-path pre-roll (both legs consume
     the SAME state, so pre-roll precision does not enter the columns)."""
@@ -152,12 +191,47 @@ def main():
                    help=f"pre-roll {PREROLL} fp32 fast steps first")
     p.add_argument("--no-ap-oracle", action="store_true",
                    help="skip the f64 all-pairs oracle legs (large n)")
+    p.add_argument("--force-error", action="store_true",
+                   help="single-EVALUATION force error vs the f64 "
+                        "all-pairs oracle (no trajectory): the "
+                        "trajectory columns conflate per-step error "
+                        "with chaotic amplification (the reference "
+                        "binary's own float-vs-double L1 reaches 0.82 "
+                        "in 10 steps at n=131072 2-D), so this is the "
+                        "apples-to-apples accuracy measure at scale")
     p.add_argument("--out", default="accuracy_study.json")
     a = p.parse_args()
     N, STEPS = a.n, a.steps
     dims = [int(d) for d in a.dims.split(",")]
 
     rows = []
+    if a.force_error:
+        for dim in dims:
+            state0 = preroll_state(N, dim, PREROLL) if a.evolved else None
+            for algo in a.algos.split(","):
+                row = {
+                    "dim": dim, "algo": algo, "n": N, "steps": 0,
+                    "theta": THETA, "evolved": bool(a.evolved),
+                }
+                for dtype, fast, label in (
+                        (np.float32, True, "fp32fast"),
+                        (np.float64, False, "f64group")):
+                    print(f"# force {algo} {dim}-D {label} "
+                          f"evolved={a.evolved} ...", file=sys.stderr,
+                          flush=True)
+                    av, mv, xv, cfg = force_at_state(
+                        algo, N, dim, dtype, THETA, fast, state0=state0)
+                    ao = oracle_force(mv, xv, cfg)
+                    scale = float(np.abs(ao).sum())
+                    row[f"force_{label}_vs_apf64"] = (
+                        float(np.abs(av - ao).sum()) / scale)
+                rows.append(row)
+                print(json.dumps(row), flush=True)
+        with open(a.out, "w") as fh:
+            json.dump(rows, fh, indent=1)
+        _print_table(rows)
+        return
+
     with tempfile.TemporaryDirectory() as tmp:
         for dim in dims:
             state0 = preroll_state(N, dim, PREROLL) if a.evolved else None
@@ -222,7 +296,10 @@ def main():
 
     with open(a.out, "w") as fh:
         json.dump(rows, fh, indent=1)
+    _print_table(rows)
 
+
+def _print_table(rows):
     keys = sorted({k for r in rows for k in r
                    if k not in ("dim", "algo", "n", "steps", "theta",
                                 "evolved")})
