@@ -152,15 +152,29 @@ def oracle_force(m64, x64, cfg):
 
 def preroll_state(n, dim, steps):
     """Common evolved start: fp32 fast-path pre-roll (both legs consume
-    the SAME state, so pre-roll precision does not enter the columns)."""
+    the SAME state, so pre-roll precision does not enter the columns).
+    Cached on disk: 50 interpret-mode steps at n=131072 cost hours on
+    this 1-core CPU and the state is deterministic in (n, dim, steps)."""
     _jax_setup()
-    from nbody_tpu.models import build_galaxy_model
+    import jax.numpy as jnp
 
+    from nbody_tpu.models import build_galaxy_model
+    from nbody_tpu.state import SystemState
+
+    cache = os.path.join(os.path.dirname(__file__), "..", "results",
+                         f"preroll_{n}_{dim}d_{steps}.npz")
+    if os.path.exists(cache):
+        z = np.load(cache)
+        return SystemState(*(jnp.asarray(z[f]) for f in
+                             ("m", "x", "v", "a", "ao")))
     cfg, state = build_galaxy_model(n, dim, np.float32)
     cfg = cfg.replace(theta=THETA)
     step = _make_step("octree", cfg, np.float32, fast=True)
     for k in range(steps):
         state, _ = step(state, k)
+    os.makedirs(os.path.dirname(cache), exist_ok=True)
+    np.savez(cache, **{f: np.asarray(getattr(state, f))
+                       for f in ("m", "x", "v", "a", "ao")})
     return state
 
 
