@@ -306,6 +306,76 @@ def _emit() -> None:
     print(json.dumps(record), flush=True)
 
 
+def _clear_tpu_competitors(max_wait_s: int = 1200) -> None:
+    """The TPU worker crashes when two processes compete through the axon
+    tunnel.  The measurement queues (scripts/tpu_queue*.sh) serialize
+    behind a live bench.py via /tmp/bench.pid, but the DRIVER's
+    end-of-round bench.py knows nothing about a still-running queue --
+    so this bench owns the TPU: wait politely for queue pids to exit,
+    then SIGTERM/SIGKILL their process trees (by pid, never by name).
+    Queues are idempotent and resumable, so a killed case is re-runnable."""
+    import signal as _sig
+    import time as _time
+
+    def _alive(pid: int) -> bool:
+        try:
+            os.kill(pid, 0)
+            return True
+        except OSError:
+            return False
+
+    def _tree(root: int) -> list[int]:
+        kids: dict[int, list[int]] = {}
+        for d in os.listdir("/proc"):
+            if not d.isdigit():
+                continue
+            try:
+                with open(f"/proc/{d}/stat") as fh:
+                    parts = fh.read().rsplit(") ", 1)[-1].split()
+                kids.setdefault(int(parts[1]), []).append(int(d))
+            except OSError:
+                continue
+        out, stack = [], [root]
+        while stack:
+            p = stack.pop()
+            out.append(p)
+            stack.extend(kids.get(p, []))
+        return out
+
+    pids = []
+    for pf in ("/tmp/queue.pid", "/tmp/queue2.pid"):
+        try:
+            with open(pf) as fh:
+                pid = int(fh.read().split()[0])
+        except (OSError, ValueError, IndexError):
+            continue
+        if pid != os.getpid() and _alive(pid):
+            pids.append(pid)
+    if not pids:
+        return
+    deadline = _time.monotonic() + max_wait_s
+    while _time.monotonic() < deadline and any(_alive(p) for p in pids):
+        _time.sleep(30)
+    survivors = [p for p in pids if _alive(p)]
+    if survivors:
+        _errors["queue_killed"] = str(survivors)
+        for root in survivors:
+            for p in _tree(root):
+                try:
+                    os.kill(p, _sig.SIGTERM)
+                except OSError:
+                    pass
+        _time.sleep(10)
+        for root in survivors:
+            for p in _tree(root):
+                try:
+                    os.kill(p, _sig.SIGKILL)
+                except OSError:
+                    pass
+    else:
+        _errors["queue_waited"] = "yes"
+
+
 def _tunnel_alive(timeout_s: int = 240) -> bool:
     """Cheap device-liveness probe in a subprocess.  When the axon tunnel
     is dead, a metric child either hangs to its full timeout (~20 min
@@ -348,6 +418,8 @@ def main() -> int:
 
     global _t0
     _t0 = time.monotonic()
+
+    _clear_tpu_competitors()
 
     _wait_s = {"total": 0.0}
     _ever_alive = {"v": False}
