@@ -239,6 +239,25 @@ def main():
                     scale = float(np.abs(ao).sum())
                     row[f"force_{label}_vs_apf64"] = (
                         float(np.abs(av - ao).sum()) / scale)
+                    # the L1 aggregate is magnitude-weighted and can be
+                    # dominated by a few heavily-CANCELLING receivers
+                    # (net force on a galaxy's central mass is a ~0
+                    # residual of 131k large contributions, so its
+                    # absolute fp error rivals a disk body's whole |a|);
+                    # per-body percentiles separate "every body is
+                    # wrong" from "two special bodies carry noise"
+                    en = np.linalg.norm(av - ao, axis=1)
+                    an = np.linalg.norm(ao, axis=1)
+                    rel = en / np.maximum(an, 1e-300)
+                    for tag, q in (("p50", 50), ("p99", 99)):
+                        row[f"force_{label}_relerr_{tag}"] = float(
+                            np.percentile(rel, q))
+                    row[f"force_{label}_relerr_max"] = float(rel.max())
+                    dump = os.path.join(
+                        os.path.dirname(__file__), "..", "results",
+                        f"forcedump_{algo}_{dim}d_{label}"
+                        f"{'_ev' if a.evolved else ''}.npz")
+                    np.savez_compressed(dump, a_leg=av, a_oracle=ao, m=mv)
                 rows.append(row)
                 print(json.dumps(row), flush=True)
         with open(a.out, "w") as fh:
