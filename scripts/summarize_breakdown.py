@@ -13,7 +13,9 @@ import sys
 
 
 def load(path):
-    best = {}
+    # one jsonl may interleave engines/configs: group by (algo, dim,
+    # evolved) so octree and bvh ablates never collide in one table
+    groups = {}
     with open(path) as fh:
         for line in fh:
             try:
@@ -24,32 +26,37 @@ def load(path):
                 print(f"  (error case: {rec.get('ablate')}: "
                       f"{rec.get('error', '?')[:120]})")
                 continue
+            g = (rec.get("algo", "?"), rec.get("dim", "?"),
+                 rec.get("evolved", "?"))
+            best = groups.setdefault(g, {})
             key = rec["ablate"]
             best[key] = min(best.get(key, 1e9), rec["sec"])
-    return best
+    return groups
 
 
 def main():
     for path in sys.argv[1:]:
         print(f"== {path}")
-        b = load(path)
-        if "none" not in b:
-            print("  no baseline 'none' case");  continue
-        base = b["none"]
-        print(f"  total step            {base*1e3:8.1f} ms")
-        for ab, sec in sorted(b.items()):
-            if ab == "none":
-                continue
-            print(f"  -{ab:<12} -> {sec*1e3:8.1f} ms   "
-                  f"phase ~{(base-sec)*1e3:+7.1f} ms")
-        # derived: t(nlist) keeps the list build but skips the eval, so
-        # eval = t(none) - t(nlist); t(near) drops the whole chain, so
-        # build = t(nlist) - t(near)
-        for evalab, listab, name in (("near", "nlist", "near"),
-                                     ("resid", "rlist", "resid")):
-            if evalab in b and listab in b:
-                print(f"  [{name}: eval ~{(base - b[listab])*1e3:.1f} ms, "
-                      f"list-build ~{(b[listab] - b[evalab])*1e3:.1f} ms]")
+        for (algo, dim, evolved), b in sorted(load(path).items()):
+            print(f" -- {algo} dim={dim} evolved={evolved}")
+            if "none" not in b:
+                print("  no baseline 'none' case");  continue
+            base = b["none"]
+            print(f"  total step            {base*1e3:8.1f} ms")
+            for ab, sec in sorted(b.items()):
+                if ab == "none":
+                    continue
+                print(f"  -{ab:<12} -> {sec*1e3:8.1f} ms   "
+                      f"phase ~{(base-sec)*1e3:+7.1f} ms")
+            # derived: t(nlist) keeps the list build but skips the eval,
+            # so eval = t(none) - t(nlist); t(near) drops the whole
+            # chain, so build = t(nlist) - t(near)
+            for evalab, listab, name in (("near", "nlist", "near"),
+                                         ("resid", "rlist", "resid")):
+                if evalab in b and listab in b:
+                    print(f"  [{name}: eval ~{(base - b[listab])*1e3:.1f}"
+                          f" ms, list-build ~"
+                          f"{(b[listab] - b[evalab])*1e3:.1f} ms]")
 
 
 if __name__ == "__main__":
