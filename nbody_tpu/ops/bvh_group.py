@@ -871,6 +871,16 @@ def compute_force_grouped_windowed(
     # block; sum(hi - lo) / (entries * S) is the useful fraction (drives
     # the residual block-width choice)
     info["res_width_sum"] = jnp.sum((lohis >> 16) - (lohis & 0xFFFF))
+    # DMA-redundancy diagnostic (mirrors octree_group): distinct
+    # S-blocks among real residual entries; entries / unique is the
+    # factor a block-resident near kernel could recover (~2 us per
+    # entry is the block DMA, round-4 breakdown)
+    _blk = jnp.where(jnp.arange(entries.shape[0]) < n_merged,
+                     entries & 0xFFFF, jnp.int32(0x7FFFFFFF))
+    _sb = jnp.sort(_blk)
+    _prev = jnp.concatenate([jnp.full((1,), -1, _sb.dtype), _sb[:-1]])
+    info["res_unique_blocks"] = jnp.sum(
+        (_sb != _prev) & (_sb != jnp.int32(0x7FFFFFFF)), dtype=jnp.int32)
     for k, v in enumerate(diag_pass_hist):
         info[f"res_pass_{k}"] = v
     return a, info

@@ -1332,11 +1332,24 @@ def compute_force_grouped_fast(
     # body mass the open cells carry vs the S-block slots entries pay for
     open_mass = jnp.sum(jnp.where(open_mask, counts_L[None, :], 0),
                         dtype=jnp.int32)
+    # DMA-redundancy diagnostic (DCE'd unless read): distinct S-blocks
+    # among the real entries.  Each entry re-DMAs its whole S-block and
+    # the round-4 breakdown pinned the ~2 us/entry fixed cost to that
+    # DMA — entries / unique_blocks is the redundancy factor a
+    # block-resident (load-once, serve-every-tile) near kernel could
+    # remove.  Blocks are >= 0, so -1 is a safe "before first" sentinel.
+    _blk = jnp.where(jnp.arange(entries.shape[0]) < n_entries_info,
+                     entries & 0xFFFF, jnp.int32(0x7FFFFFFF))
+    _sb = jnp.sort(_blk)
+    _prev = jnp.concatenate([jnp.full((1,), -1, _sb.dtype), _sb[:-1]])
     info = {
         "max_nodes": jnp.max(jnp.minimum(ent_count, R_slice)),
         "max_leaves": jnp.zeros((), jnp.int32),
         "fallback_tiles": n_over,
         "entries": n_entries_info,
+        "near_unique_blocks": jnp.sum(
+            (_sb != _prev) & (_sb != jnp.int32(0x7FFFFFFF)),
+            dtype=jnp.int32),
         "open_cells": jnp.sum(open_mask, dtype=jnp.int32),
         "open_mass": open_mass,
         "near_width_sum": near_width_sum,

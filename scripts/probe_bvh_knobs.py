@@ -100,10 +100,9 @@ def main():
 
     # entry-count diagnostics from one un-timed eval
     _, info = jax.jit(step)(st)
-    diag = {k: int(info[k]) for k in ("entries", "fallback_tiles")
-            if k in info}
-    if "res_width_sum" in info:
-        diag["res_width_sum"] = int(info["res_width_sum"])
+    diag = {k: int(info[k]) for k in ("entries", "fallback_tiles",
+                                      "res_width_sum",
+                                      "res_unique_blocks") if k in info}
 
     try:
         dtv = scan_seconds_per_step(loop, (st,), iters_short=1,

@@ -97,9 +97,8 @@ def main():
 
     _, info = jax.jit(step)(st)
     diag = {k: int(info[k]) for k in ("entries", "fallback_tiles",
-                                      "open_cells") if k in info}
-    if "near_width_sum" in info:
-        diag["near_width_sum"] = int(info["near_width_sum"])
+                                      "open_cells", "near_width_sum",
+                                      "near_unique_blocks") if k in info}
 
     try:
         dtv = scan_seconds_per_step(loop, (st,), iters_short=1,
