@@ -478,6 +478,8 @@ def compute_force_grouped_windowed(
     window and L* adapt to small n.  fp32-only (f64/CPU runs use the
     list path).
     """
+    if "epg1" in ablate.split(","):   # A/B: no packing (one entry/step —
+        epg = 1                       # the dma_pipeline microbench ideal)
     if "epg8" in ablate.split(","):   # A/B: double entry packing
         epg = 8
     if "epg16" in ablate.split(","):  # A/B: quadruple entry packing

@@ -554,6 +554,8 @@ def compute_force_grouped_fast(
     ms/xs/keys are the Morton-SORTED bodies and their full-depth keys.
     Returns (accel in sorted order, info dict).  fp32-only.
     """
+    if "epg1" in ablate.split(","):   # A/B: no packing (one entry/step —
+        epg = 1                       # the dma_pipeline microbench ideal)
     if "epg8" in ablate.split(","):   # A/B: double entry packing
         epg = 8
     if "epg16" in ablate.split(","):  # A/B: quadruple entry packing
