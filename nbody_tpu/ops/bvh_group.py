@@ -436,9 +436,14 @@ def compute_force_grouped_windowed(
     s_target: int = 512,
     refine_levels: int | None = None,
     ablate: str = "",
-    epg: int = 4,
+    epg: int = 1,
 ):
     """Gather-free grouped BVH force (fp32 TPU fast path).
+
+    epg default flipped 4 -> 1 in round 4 (see octree_group
+    compute_force_grouped_fast): bit-exact, fewer pad entries, faster
+    in every n=1M config (3-D -3.2/-4.6%, 2-D -2.2/-4.5%;
+    results/r4/knob_bvh.jsonl epg1 rows).
 
     The list-based group traversal (compute_force_grouped) compacts
     per-tile interaction lists with batched binary searches; on the v5e

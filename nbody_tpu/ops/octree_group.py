@@ -507,9 +507,16 @@ def compute_force_grouped_fast(
     descend_caps: tuple = (1024, 1024, 2048),
     descend_maxb: int = 4,
     s_block: int | None = None,
-    epg: int = 4,
+    epg: int = 1,
 ):
     """Gather-free grouped octree force (fp32 TPU fast path).
+
+    epg default flipped 4 -> 1 in round 4: the unpacked one-entry-per-
+    grid-step eval is bit-exact, drops the per-tile alignment pad
+    entries, and measured FASTER in every n=1M config (3-D -2%, 2-D
+    fresh -10.6% / evolved -8.0%; results/r4/knob_oct.jsonl epg1 rows) —
+    packing never paid because the per-step overhead is ~0.3 us, not
+    the ~2 us the round-3 model assumed (BASELINE.md microbenchmark).
 
     Same design as the BVH windowed path (ops/bvh_group.py
     compute_force_grouped_windowed) adapted to the octree's fixed spatial
