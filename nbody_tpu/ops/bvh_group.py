@@ -862,6 +862,7 @@ def compute_force_grouped_windowed(
             entries.reshape(-1, E_CHUNK), lohis.reshape(-1, E_CHUNK),
             float(eps), S=Sd, tb=tile, interpret=interpret, softening="poly",
             n_real=n_merged, epg=epg,
+            packed_j="packedj" in ablate.split(","),
         )
 
     acc = far + near + resid

@@ -1126,6 +1126,7 @@ def compute_force_grouped_fast(
                 float(eps), S=S, tb=tile, interpret=interpret,
                 softening="sqrt3", n_real=n_merged,
                 skip_empty="noskip" not in ablate.split(","), epg=epg,
+                packed_j="packedj" in ablate.split(","),
             )
         n_entries_info = n_merged
         desc_diag = {"entries_raw": end_rank[-1]}
@@ -1291,7 +1292,8 @@ def compute_force_grouped_fast(
                 entries.reshape(-1, E_CHUNK), lohis.reshape(-1, E_CHUNK),
                 float(eps), S=S, tb=tile, interpret=interpret,
                 softening="sqrt3", n_real=n_real2,
-                skip_empty="noskip" not in ablate.split(","), epg=epg)
+                skip_empty="noskip" not in ablate.split(","), epg=epg,
+                packed_j="packedj" in ablate.split(","))
         n_entries_info = n_real2
         near_width_sum = jnp.sum((lohis >> 16) - (lohis & 0xFFFF))
         desc_diag = dict(res.diag)

@@ -831,9 +831,67 @@ def _entries_lohi_kernel(dim, eps, softening, S, skip_empty, epg, ent_ref,
         one(k)
 
 
+def _entries_lohi_packed_kernel(dim, eps, softening, S, skip_empty, epg,
+                                ent_ref, lohi_ref, xi_ref, *rest):
+    """Packed-j variant of _entries_lohi_kernel: coords + mass arrive as
+    ONE (4, S) block per entry (rows 0..dim-1 coords, row dim mass) so
+    each entry costs a single BlockSpec DMA instead of two (xjt + mj).
+    The dma_pipeline microbench structure (probe_dma_pipeline.py kern_a)
+    measured this layout at the per-entry ideal; probe_entry_overhead.py
+    decomposes the production gap it recovers.  Math is bit-identical to
+    the unpacked kernel (same op order)."""
+    xm_refs = rest[:epg]
+    out_ref = rest[epg + 1]
+    e = pl.program_id(0)
+    ent0 = ent_ref[e * epg]
+    tid = ent0 >> 16
+    prev = ent_ref[jnp.maximum(e * epg - epg, 0)] >> 16
+
+    @pl.when((e == 0) | (tid != prev))
+    def _():
+        out_ref[:, :] = jnp.zeros_like(out_ref)
+
+    xi = xi_ref[:, :]
+    eps_v = jnp.asarray(eps, xi.dtype)
+    lane = jax.lax.broadcasted_iota(jnp.int32, (1, S), 1)
+
+    def one(k):
+        lohi = lohi_ref[e * epg + k]
+        lo = lohi & 0xFFFF
+        hi = lohi >> 16
+
+        def body():
+            sel = ((lane >= lo) & (lane < hi)).astype(xi.dtype)
+            xm = xm_refs[k]
+            dx = []
+            d2 = None
+            for d in range(dim):
+                xd = xm[d, :][None, :] - xi[:, d][:, None]
+                dx.append(xd)
+                d2 = xd * xd if d2 is None else d2 + xd * xd
+            if softening == "poly":
+                t = d2 * jnp.sqrt(d2) + eps_v
+            else:
+                s = jnp.sqrt(d2) + eps_v
+                t = s * s * s
+            r = pl.reciprocal(t, approx=True)
+            r = r * (jnp.asarray(2.0, xi.dtype) - t * r)
+            w = (sel * xm[dim, :][None, :]) * r
+            for d in range(dim):
+                out_ref[:, d] += jnp.sum(w * dx[d], axis=1)
+
+        if skip_empty:
+            pl.when(hi > lo)(body)
+        else:
+            body()
+
+    for k in range(epg):
+        one(k)
+
+
 @functools.partial(
     jax.jit, static_argnames=("eps", "S", "tb", "interpret", "softening",
-                              "skip_empty", "epg")
+                              "skip_empty", "epg", "packed_j")
 )
 def entries_lohi_eval_pallas(
     xi: jnp.ndarray,
@@ -849,6 +907,7 @@ def entries_lohi_eval_pallas(
     n_real=None,
     skip_empty: bool = True,
     epg: int = 1,
+    packed_j: bool = False,
 ) -> jnp.ndarray:
     """Chunked self-describing entry evaluation (see the kernel).  entries
     and lohis are 1-D or (nchunks, E); entries must be sorted by tile id,
@@ -858,7 +917,11 @@ def entries_lohi_eval_pallas(
     epg packs epg consecutive entries into one grid step (each step pays
     a fixed ~2 us of Mosaic sequencing, so packing divides it by epg);
     requires every tile's entry count to be an epg multiple (see
-    merge_contiguous_entries' aligned recompaction) and epg | E."""
+    merge_contiguous_entries' aligned recompaction) and epg | E.
+
+    packed_j=True repacks the j side into one (4, npad) array (coords
+    rows + mass row, zero row padding dim=2) so each entry costs ONE
+    BlockSpec DMA instead of two; bit-exact same math."""
     dim = xi.shape[1]
     ntiles = xi.shape[0] // tb
     dtype = xi.dtype
@@ -868,6 +931,62 @@ def entries_lohi_eval_pallas(
     nchunks, E = entries.shape
     if E % epg:
         raise ValueError("epg must divide the chunk width")
+
+    if packed_j:
+        R = 4                       # (4, 128)-tiling-aligned HBM slices
+        xm_pack = jnp.concatenate(
+            [xjt, mj.reshape(1, -1),
+             jnp.zeros((R - dim - 1, xjt.shape[1]), dtype)], axis=0)
+        kernel = functools.partial(_entries_lohi_packed_kernel, dim,
+                                   float(eps), softening, S, skip_empty,
+                                   epg)
+
+        def jspec(k):
+            return pl.BlockSpec(
+                (R, S),
+                lambda e, ent, lh, _k=k: (0, ent[e * epg + _k] & 0xFFFF))
+
+        grid_spec = pltpu.PrefetchScalarGridSpec(
+            num_scalar_prefetch=2,
+            grid=(E // epg,),
+            in_specs=[
+                pl.BlockSpec((tb, dim),
+                             lambda e, ent, lh: (ent[e * epg] >> 16, 0)),
+                *[jspec(k) for k in range(epg)],
+                pl.BlockSpec(memory_space=pl.ANY),
+            ],
+            out_specs=pl.BlockSpec((tb, dim), lambda e, ent, lh:
+                                   (ent[e * epg] >> 16, 0)),
+        )
+
+        def one_chunk(ent_chunk, lohi_chunk):
+            init = jnp.zeros((ntiles * tb, dim), dtype)
+            return pl.pallas_call(
+                kernel,
+                grid_spec=grid_spec,
+                out_shape=jax.ShapeDtypeStruct((ntiles * tb, dim), dtype),
+                input_output_aliases={epg + 3: 0},
+                cost_estimate=pl.CostEstimate(
+                    flops=int(13 * tb) * int(E) * int(S),
+                    bytes_accessed=int(E * (tb + S) * dim * 4),
+                    transcendentals=int(tb) * int(E) * int(S),
+                ),
+                interpret=interpret,
+            )(ent_chunk.astype(jnp.int32), lohi_chunk.astype(jnp.int32),
+              xi, *([xm_pack] * epg), init)
+
+        out = one_chunk(entries[0], lohis[0])
+        for c in range(1, nchunks):
+            if n_real is None:
+                out = out + one_chunk(entries[c], lohis[c])
+            else:
+                out = jax.lax.cond(
+                    jnp.asarray(c * E, jnp.int32) < n_real.astype(jnp.int32),
+                    lambda o, ch, lh: o + one_chunk(ch, lh),
+                    lambda o, ch, lh: o,
+                    out, entries[c], lohis[c],
+                )
+        return out
 
     kernel = functools.partial(_entries_lohi_kernel, dim, float(eps),
                                softening, S, skip_empty, epg)

@@ -553,6 +553,46 @@ def test_fast_paths_chunked_entries_match_single_chunk(f32_eps):
     np.testing.assert_array_equal(np.asarray(b1), np.asarray(b2))
 
 
+@pytest.mark.parametrize("dim", [2, 3])
+def test_fast_paths_packed_j_bitexact(dim, f32_eps):
+    """packed_j repacks the near/residual j side into one (4, npad)
+    coords+mass array (one BlockSpec DMA per entry instead of two); the
+    kernel math is the same op order, so forces must be BIT-identical
+    on both engines.  dim=2 additionally exercises the zero pad row."""
+    from nbody_tpu.ops.bvh import build_tree
+    from nbody_tpu.ops.bvh_group import compute_force_grouped_windowed
+    from nbody_tpu.ops.geometry import aabb_of_points, scalar_bounds
+    from nbody_tpu.ops.hilbert import hilbert_sort_perm
+    from nbody_tpu.ops.octree import max_depth, morton_keys
+    from nbody_tpu.ops.octree_group import compute_force_grouped_fast
+
+    m, x = _system(900, dim, clustered=True, seed=27)
+    xmin, xmax = aabb_of_points(x, f32_eps)
+    perm = hilbert_sort_perm(x, xmin, xmax)
+    ms, xs = m[perm], x[perm]
+    tree = build_tree(ms, xs, f32_eps)
+    a1, _ = compute_force_grouped_windowed(tree, ms, xs, 0.5, 1.0, f32_eps,
+                                           tile=128, s_target=256,
+                                           interpret=True)
+    a2, _ = compute_force_grouped_windowed(tree, ms, xs, 0.5, 1.0, f32_eps,
+                                           tile=128, s_target=256,
+                                           interpret=True, ablate="packedj")
+    np.testing.assert_array_equal(np.asarray(a1), np.asarray(a2))
+
+    depth = max_depth(900, dim)
+    lo, hi = scalar_bounds(x)
+    keys = morton_keys(x, lo, hi, depth)
+    p2 = jnp.argsort(keys)
+    ms2, xs2, ks2 = m[p2], x[p2], keys[p2]
+    b1, _ = compute_force_grouped_fast(ms2, xs2, ks2, lo, hi, depth, 0.5,
+                                       1.0, f32_eps, tile=128, s_block=256,
+                                       interpret=True)
+    b2, _ = compute_force_grouped_fast(ms2, xs2, ks2, lo, hi, depth, 0.5,
+                                       1.0, f32_eps, tile=128, s_block=256,
+                                       interpret=True, ablate="packedj")
+    np.testing.assert_array_equal(np.asarray(b1), np.asarray(b2))
+
+
 def test_octree_fast_robust_to_escapers(f32_eps):
     """Escaper bodies far outside the core must not degrade the fast
     path: the robust quantile quantization box keeps the core resolved
