@@ -482,7 +482,8 @@ def compute_force_grouped(
     static_argnames=("depth", "theta", "G", "eps", "tile", "interpret",
                      "e_chunk", "nrows", "ablate", "window_tiles",
                      "depth_bias", "descend_levels", "descend_G",
-                     "descend_caps", "descend_maxb", "s_block", "epg"),
+                     "descend_caps", "descend_maxb", "s_block", "epg",
+                     "far_heap_cap"),
 )
 def compute_force_grouped_fast(
     ms: jnp.ndarray,
@@ -508,6 +509,7 @@ def compute_force_grouped_fast(
     descend_maxb: int = 4,
     s_block: int | None = None,
     epg: int = 1,
+    far_heap_cap: int | None = None,
 ):
     """Gather-free grouped octree force (fp32 TPU fast path).
 
@@ -832,6 +834,7 @@ def compute_force_grouped_fast(
         accept_masks[-1] = accept_masks[-1] | mono
         open_mask = open_mask & ~mono
 
+    flag_diag = {}
     acc_bool = jnp.concatenate(accept_masks, axis=1)        # (T, W) bool
     mm_heap = jnp.concatenate(heap_mass)
     com_heap = jnp.concatenate(heap_com, axis=0)
@@ -904,12 +907,59 @@ def compute_force_grouped_fast(
         from nbody_tpu.ops.pallas_group_eval import (
             masked_eval_bits_pallas, pack_mask_bits)
 
-        far = masked_eval_bits_pallas(
-            xp.reshape(npad, dim), mm_heap, com_heap.T,
-            pack_mask_bits(acc_bool), float(eps),
-            interpret=interpret, softening="sqrt3",
-            tile_group=(2 if "ftg2" in ablate.split(",") else 1),
-        )
+        # compacted far heap ("fheap" knob): at n=1M galaxy only ~7%
+        # (3-D) / ~20% (2-D) of the dense heap's cells are NONEMPTY --
+        # the dense eval burns T x TB x W pair slots on mass-0 lanes.
+        # Keep the traversal/masks dense (their compute is VPU-trivial),
+        # but evaluate over the nonempty cells only: one 37k argsort
+        # orders nonempty-first (index-stable, so accepted-cell summation
+        # order is preserved up to chunk boundaries), a contiguous ROW
+        # gather of acc_bool.T compacts the mask, and a lax.cond falls
+        # back to the dense eval when a distribution overflows the
+        # static cap (e.g. uniform fills every cell; galaxy fresh 3-D
+        # counts 2755).  Conservative guarantee untouched: same accepted
+        # set, same monopoles, only the j-lane compaction changes.
+        # auto caps: galaxy fresh counts 2755 (3-D) / 4296 (2-D) nonempty;
+        # evolved scattered states occupy more cells, so the caps carry
+        # ~2x headroom (each extra 1024 of width costs ~7 ms of eval at
+        # n=1M) -- far_heap_nonempty in info tracks the real count
+        far_cap = far_heap_cap
+        if far_cap is None and "fheap" in ablate.split(","):
+            far_cap = 6144 if dim == 3 else 8192
+        if far_cap is not None and far_cap < W_heap:
+            alive_w = jnp.concatenate(heap_cnt) > 0             # (W,)
+            idx_w = jnp.arange(W_heap, dtype=jnp.int32)
+            keep_idx = jnp.argsort(
+                jnp.where(alive_w, 0, W_heap).astype(jnp.int32) + idx_w
+            )[:far_cap]
+            n_keep = jnp.sum(alive_w, dtype=jnp.int32)
+            mm_c = mm_heap[keep_idx]         # dead cells carry mass 0
+            com_c = com_heap[keep_idx]
+            acc_c = acc_bool.T[keep_idx].T   # row gather, not col gather
+            tg = 2 if "ftg2" in ablate.split(",") else 1
+
+            def _far_cheap(xp_flat):
+                return masked_eval_bits_pallas(
+                    xp_flat, mm_c, com_c.T, pack_mask_bits(acc_c),
+                    float(eps), interpret=interpret, softening="sqrt3",
+                    tile_group=tg)
+
+            def _far_dense(xp_flat):
+                return masked_eval_bits_pallas(
+                    xp_flat, mm_heap, com_heap.T, pack_mask_bits(acc_bool),
+                    float(eps), interpret=interpret, softening="sqrt3",
+                    tile_group=tg)
+
+            far = jax.lax.cond(n_keep <= far_cap, _far_cheap, _far_dense,
+                               xp.reshape(npad, dim))
+            flag_diag["far_heap_nonempty"] = n_keep
+        else:
+            far = masked_eval_bits_pallas(
+                xp.reshape(npad, dim), mm_heap, com_heap.T,
+                pack_mask_bits(acc_bool), float(eps),
+                interpret=interpret, softening="sqrt3",
+                tile_group=(2 if "ftg2" in ablate.split(",") else 1),
+            )
 
     # ---- window evaluation (exact bodies in [lo_t, hi_t)) -------------
     if "win" in ablate.split(","):      # ablation probes only (wrong forces!)
@@ -935,7 +985,6 @@ def compute_force_grouped_fast(
         )
     far = far + win
 
-    flag_diag = {}
     if r_levels == 0:
         desc_diag = {}
         # ---- global (cell, block) run table -------------------------------

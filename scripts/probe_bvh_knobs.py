@@ -57,7 +57,9 @@ def main():
     tile_s, st_s, wt_s, ablate, evolved_s = parts[:5]
     tile, s_target, wt = int(tile_s), int(st_s), int(wt_s)
     evolved = int(evolved_s)
-    ablate = "" if ablate == "none" else ablate
+    # dot-separated multi-token ablate (SPEC itself is comma-split):
+    # "fheap.packedj" -> "fheap,packedj"
+    ablate = "" if ablate == "none" else ablate.replace(".", ",")
 
     dim = int(parts[5]) if len(parts) > 5 else 3   # optional 6th field
     cfg, state = build_galaxy_model(N, dim, np.float32)

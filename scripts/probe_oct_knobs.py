@@ -54,7 +54,9 @@ def main():
     tile_s, sb_s, wt_s, ablate, dim_s, evolved_s = SPEC.split(",")
     tile, s_block, wt = int(tile_s), int(sb_s), int(wt_s)
     dim, evolved = int(dim_s), int(evolved_s)
-    ablate = "" if ablate == "none" else ablate
+    # dot-separated multi-token ablate (SPEC itself is comma-split):
+    # "fheap.packedj" -> "fheap,packedj"
+    ablate = "" if ablate == "none" else ablate.replace(".", ",")
 
     cfg, state = build_galaxy_model(N, dim, np.float32)
     theta, G, eps, dt = 0.5, float(cfg.G), cfg.eps, cfg.dt

@@ -64,38 +64,73 @@ def main():
 
         depth = max_depth(N, DIM)
 
-        def step(s):
-            lo, hi = scalar_bounds(s.x)
-            lo_r, hi_r = robust_quant_box(s.x, lo, hi)
-            ms, xs, ks, perm = morton_sort(s.m, s.x, lo_r, hi_r, depth)
-            a_sorted, info = compute_force_grouped_fast(
-                ms, xs, ks, lo_r, hi_r, depth, theta, G, eps,
-                ablate=ABLATE, interpret=INTERPRET)
-            a = jnp.zeros_like(a_sorted).at[perm].set(a_sorted)
-            return leapfrog_step(dataclasses.replace(s, a=a), dt), info
+        if ABLATE == "sortonly":
+            # bounds + quantize + Morton sort + un-permute scatter +
+            # integrate, NO force machinery at all: splits the
+            # "remainder" phase into sort vs masks/extraction
+            def step(s):
+                lo, hi = scalar_bounds(s.x)
+                lo_r, hi_r = robust_quant_box(s.x, lo, hi)
+                ms, xs, ks, perm = morton_sort(s.m, s.x, lo_r, hi_r, depth)
+                consume = (xs * jnp.float32(1e-30)
+                           + ms[:, None] * jnp.float32(1e-30)
+                           + ks[:, None].astype(xs.dtype)
+                           * jnp.float32(1e-38))
+                a = jnp.zeros_like(s.x).at[perm].set(consume)
+                return leapfrog_step(dataclasses.replace(s, a=a), dt), {}
+        else:
+            def step(s):
+                lo, hi = scalar_bounds(s.x)
+                lo_r, hi_r = robust_quant_box(s.x, lo, hi)
+                ms, xs, ks, perm = morton_sort(s.m, s.x, lo_r, hi_r, depth)
+                a_sorted, info = compute_force_grouped_fast(
+                    ms, xs, ks, lo_r, hi_r, depth, theta, G, eps,
+                    ablate=ABLATE, interpret=INTERPRET)
+                a = jnp.zeros_like(a_sorted).at[perm].set(a_sorted)
+                return leapfrog_step(dataclasses.replace(s, a=a), dt), info
     else:
         from nbody_tpu.ops.bvh import build_tree
         from nbody_tpu.ops.bvh_group import compute_force_grouped_windowed
         from nbody_tpu.ops.geometry import aabb_of_points
         from nbody_tpu.ops.hilbert import hilbert_sort_perm
 
-        def step(s):
+        def _presort(s):
             xmin, xmax = aabb_of_points(s.x, eps)
             perm = hilbert_sort_perm(s.x, xmin, xmax,
                                      true_curve=(DIM == 3))
             packed = jnp.concatenate(
                 [s.m[:, None], s.x, s.v, s.a, s.ao], axis=1)[perm]
             d = s.x.shape[1]
-            s = dataclasses.replace(
+            return dataclasses.replace(
                 s, m=packed[:, 0], x=packed[:, 1:1 + d],
                 v=packed[:, 1 + d:1 + 2 * d],
                 a=packed[:, 1 + 2 * d:1 + 3 * d],
                 ao=packed[:, 1 + 3 * d:])
-            tree = build_tree(s.m, s.x, eps)
-            a, info = compute_force_grouped_windowed(
-                tree, s.m, s.x, theta, G, eps, ablate=ABLATE,
-                interpret=INTERPRET)
-            return leapfrog_step(dataclasses.replace(s, a=a), dt), info
+
+        if ABLATE == "sortonly":
+            # Hilbert sort + packed permutation + integrate, no tree:
+            # splits the bvh "remainder" into sort vs build
+            def step(s):
+                s = _presort(s)
+                return leapfrog_step(
+                    dataclasses.replace(s, a=jnp.zeros_like(s.x)), dt), {}
+        elif ABLATE == "buildonly":
+            # sort + tree build (consumed through a cheap reduction)
+            def step(s):
+                s = _presort(s)
+                tree = build_tree(s.m, s.x, eps)
+                consume = (jnp.sum(tree.mm[-1]) + jnp.sum(tree.mx[-1])) \
+                    * jnp.float32(1e-30)
+                a = jnp.zeros_like(s.x) + consume
+                return leapfrog_step(dataclasses.replace(s, a=a), dt), {}
+        else:
+            def step(s):
+                s = _presort(s)
+                tree = build_tree(s.m, s.x, eps)
+                a, info = compute_force_grouped_windowed(
+                    tree, s.m, s.x, theta, G, eps, ablate=ABLATE,
+                    interpret=INTERPRET)
+                return leapfrog_step(dataclasses.replace(s, a=a), dt), info
 
     st = state
     if EVOLVED:

@@ -593,6 +593,41 @@ def test_fast_paths_packed_j_bitexact(dim, f32_eps):
     np.testing.assert_array_equal(np.asarray(b1), np.asarray(b2))
 
 
+@pytest.mark.parametrize("dim", [2, 3])
+def test_octree_far_heap_compaction(dim, f32_eps):
+    """far_heap_cap compacts the far-field eval to the NONEMPTY heap
+    cells (n=1M galaxy: only ~7% of 3-D cells are occupied).  Same
+    accepted set and monopoles, j-lanes compacted index-stable: forces
+    must match the dense eval to f32 summation-order rounding.  A cap
+    below the nonempty count must fall back to the dense eval
+    BIT-exactly (the lax.cond overflow guard)."""
+    from nbody_tpu.ops.geometry import scalar_bounds
+    from nbody_tpu.ops.octree import max_depth, morton_sort, \
+        robust_quant_box
+    from nbody_tpu.ops.octree_group import compute_force_grouped_fast
+
+    m, x = _system(2000, dim, clustered=True, seed=31)
+    lo, hi = scalar_bounds(x)
+    lo_r, hi_r = robust_quant_box(x, lo, hi)
+    depth = max_depth(2000, dim)
+    ms, xs, ks, perm = morton_sort(m, x, lo_r, hi_r, depth)
+    kw = dict(tile=128, s_block=256, interpret=True)
+    a0, i0 = compute_force_grouped_fast(ms, xs, ks, lo_r, hi_r, depth,
+                                        0.5, 1.0, f32_eps, **kw)
+    a1, i1 = compute_force_grouped_fast(ms, xs, ks, lo_r, hi_r, depth,
+                                        0.5, 1.0, f32_eps,
+                                        far_heap_cap=48, **kw)
+    n_keep = int(i1["far_heap_nonempty"])
+    assert 0 < n_keep <= 48, n_keep
+    scale = float(jnp.max(jnp.abs(a0))) + 1e-30
+    assert float(jnp.max(jnp.abs(a1 - a0))) / scale < 1e-6
+    # overflow: cap < nonempty -> dense fallback, bitwise identical
+    a2, _ = compute_force_grouped_fast(ms, xs, ks, lo_r, hi_r, depth,
+                                       0.5, 1.0, f32_eps,
+                                       far_heap_cap=2, **kw)
+    np.testing.assert_array_equal(np.asarray(a0), np.asarray(a2))
+
+
 def test_octree_fast_robust_to_escapers(f32_eps):
     """Escaper bodies far outside the core must not degrade the fast
     path: the robust quantile quantization box keeps the core resolved
