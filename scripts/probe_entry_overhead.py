@@ -224,17 +224,23 @@ def main():
             out_shape=jax.ShapeDtypeStruct((T * TB, DIM), jnp.float32),
             interpret=INTERPRET)(ent_tiled, lohi, xi_all_, xm)
 
-    def run_prod(xi_all_):
+    def run_prod(xi_all_, skip=True, packed=False):
         from nbody_tpu.ops.pallas_group_eval import entries_lohi_eval_pallas
         return entries_lohi_eval_pallas(
             xi_all_, mj, xjt, ent_tiled, lohi, eps, S=S, tb=TB,
-            interpret=INTERPRET, softening="sqrt3", skip_empty=True, epg=1)
+            interpret=INTERPRET, softening="sqrt3", skip_empty=skip,
+            epg=1, packed_j=packed)
 
     runners = {
         "ideal": (run_ideal, xi0), "sepmj": (run_sepmj, xi0),
         "sel": (functools.partial(run_masked, kern_sel), xi0),
         "when": (functools.partial(run_masked, kern_when), xi0),
         "switch": (run_switch, xi_all), "prod": (run_prod, xi_all),
+        # production-call variants (the candidate fixes, same workload):
+        "prod_noskip": (functools.partial(run_prod, skip=False), xi_all),
+        "prod_packed": (functools.partial(run_prod, packed=True), xi_all),
+        "prod_packed_noskip": (
+            functools.partial(run_prod, skip=False, packed=True), xi_all),
     }
     modes = list(runners) if MODE == "all" else MODE.split(",")
 

@@ -89,10 +89,12 @@ fi
 
 # ---- stage 1: entry-overhead ladder (octree- and bvh-like configs) --
 EO=$R/entry_overhead.jsonl
-for m in ideal sepmj sel when switch prod; do
+for m in ideal sepmj sel when switch prod prod_noskip prod_packed \
+         prod_packed_noskip; do
     run_entov "$EO" "$m" 1024 1200
 done
-for m in ideal sepmj sel when switch prod; do
+for m in ideal sepmj sel when switch prod prod_noskip prod_packed \
+         prod_packed_noskip; do
     run_entov "$EO" "$m" 512 1200
 done
 commit_r "Entry-overhead structure ladder (auto-harvest)"
@@ -109,5 +111,47 @@ done
 python scripts/summarize_knobs.py "$OCT" "$BVH" $R/KNOB_SUMMARY.md \
     >> "$LOG" 2>&1
 commit_r "Knob A/B: packed-j near-field DMA cases + summary (auto-harvest)"
+
+# ---- stage 3: compacted far heap A/B at n=1M shipped configs --------
+for ev in 0 1; do
+    run_case probe_oct_knobs.py "$OCT" "512,1024,32,fheap,3,$ev" 1800
+    run_case probe_oct_knobs.py "$OCT" "512,256,32,fheap,2,$ev"  1800
+done
+for ev in 0 1; do
+    run_case probe_oct_knobs.py "$OCT" "512,1024,32,fheap.packedj,3,$ev" 1800
+    run_case probe_oct_knobs.py "$OCT" "512,256,32,fheap.packedj,2,$ev"  1800
+done
+python scripts/summarize_knobs.py "$OCT" "$BVH" $R/KNOB_SUMMARY.md \
+    >> "$LOG" 2>&1
+commit_r "Knob A/B: compacted far heap cases + summary (auto-harvest)"
+
+# ---- stage 4: remainder split (sort vs masks/build) -----------------
+# run_bd ALGO ABLATE DIM EVOLVED CAP
+run_bd() {
+    local algo=$1 abl=$2 dim=$3 ev=$4 cap=$5
+    local out=$R/breakdown.jsonl
+    local key="\"algo\": \"$algo\", \"dim\": $dim, \"evolved\": $ev, \"ablate\": \"$abl\""
+    if grep -F "$key" "$out" 2>/dev/null | grep -q '"sec"'; then
+        log "skip bd $algo/$abl/$dim/ev$ev (done)"; return
+    fi
+    if [ "$(grep -cF "$key" "$out" 2>/dev/null)" -ge 2 ]; then
+        log "skip bd $algo/$abl/$dim/ev$ev (errored twice)"; return
+    fi
+    await_tunnel
+    log "RUN breakdown $algo $abl dim=$dim ev=$ev (cap ${cap}s)"
+    timeout "$cap" python scripts/probe_r4_breakdown.py "$out" "$algo" \
+        "$abl" "$dim" "$ev" >> "$LOG" 2>&1 || log "bd $algo/$abl rc=$?"
+}
+
+run_bd octree sortonly 2 1 1500
+run_bd octree sortonly 2 0 1500
+run_bd octree sortonly 3 0 1500
+run_bd octree "near,far,win" 2 1 1500
+run_bd octree "near,far,win" 3 0 1500
+run_bd bvh sortonly 3 0 1500
+run_bd bvh buildonly 3 0 1500
+run_bd bvh sortonly 2 1 1500
+run_bd bvh buildonly 2 1 1500
+commit_r "Remainder decomposition: sort vs masks/build (auto-harvest)"
 
 log "=== queue3 complete ==="
