@@ -60,7 +60,9 @@ def measure(algo: str, n: int, iters_long: int = 2) -> float:
 def main():
     log({"probe": "f64_start"})
     budget = 40.0  # seconds of device time per dispatch we dare spend
-    for algo in ("bvh", "octree"):
+    # optional argv[2] restricts to one algo (retry of a crashed case)
+    algos = (sys.argv[2],) if len(sys.argv) > 2 else ("bvh", "octree")
+    for algo in algos:
         dt_small = None
         for n in (100_000, 250_000, 1_000_000):
             if dt_small is not None:
