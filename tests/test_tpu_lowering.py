@@ -159,6 +159,30 @@ print("LOWER_OK")
 """
 
 
+# round-4b knob candidates: packed-j single-DMA near eval ("packedj"),
+# compacted far heap ("fheap"), and the combination -- exported at the
+# exact n=1M shapes the TPU knob probes run, so a Mosaic rejection (e.g.
+# of the packed (4, S) j-block layout) fails here instead of on the TPU
+_KNOB_ABLATE_OCT_CASE = _KNOB_OCT_CASE.replace(
+    "tile=1024, s_block=1024, window_tiles=32",
+    "tile=512, s_block=(1024 if DIM == 3 else 256), window_tiles=32,\n"
+    "        ablate=ABLATE")
+_KNOB_ABLATE_BVH_CASE = _KNOB_BVH_CASE.replace(
+    "tile=1024, s_target=1024, window_tiles=32",
+    "tile=512, s_target=512, window_tiles=32, ablate=ABLATE")
+
+
+@pytest.mark.parametrize("dim", [2, 3])
+@pytest.mark.parametrize("ablate", ["packedj", "fheap", "fheap,packedj"])
+def test_knob_octree_ablate_lowers(dim, ablate):
+    _run(f"DIM = {dim}\nABLATE = {ablate!r}" + _KNOB_ABLATE_OCT_CASE)
+
+
+@pytest.mark.parametrize("dim", [2, 3])
+def test_knob_bvh_packedj_lowers(dim):
+    _run(f"DIM = {dim}\nABLATE = 'packedj'" + _KNOB_ABLATE_BVH_CASE)
+
+
 @pytest.mark.parametrize("algo", ["bvh", "octree"])
 @pytest.mark.parametrize("dim", [2, 3])
 def test_bench_config_step_lowers(algo, dim):
