@@ -376,11 +376,14 @@ def _clear_tpu_competitors(max_wait_s: int = 1200) -> None:
         _errors["queue_waited"] = "yes"
 
 
-def _tunnel_alive(timeout_s: int = 240) -> bool:
+def _tunnel_alive(timeout_s: int = 420) -> bool:
     """Cheap device-liveness probe in a subprocess.  When the axon tunnel
     is dead, a metric child either hangs to its full timeout (~20 min
     each, observed round 3) or errors at device_put; one 4-element
-    reduction distinguishes the two states in seconds."""
+    reduction distinguishes the two states in seconds.  420 s: an
+    alive-but-cold tunnel was measured taking 3m06s of backend init for
+    this probe (round 4b) -- a 240 s cap would have misread it as dead
+    for the whole budget."""
     import subprocess
 
     code = "import jax.numpy as jnp; print(float(jnp.arange(4.).sum()))"

@@ -19,7 +19,7 @@ LOG=$R/queue_log.txt
 log() { echo "[$(date +%F' '%T)] $*" >> "$LOG"; echo "$*"; }
 
 alive() {
-    timeout 240 python -c \
+    timeout 420 python -c \
       "import jax.numpy as jnp; print(float(jnp.arange(4.).sum()))" \
       2>/dev/null | grep -q '6.0'
 }
