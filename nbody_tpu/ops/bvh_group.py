@@ -607,6 +607,14 @@ def compute_force_grouped_windowed(
     wnodes = wt * npt
     t_idx = jnp.arange(ntiles, dtype=jnp.int32)
     wjf = 4 if wt % 4 == 0 else (2 if wt % 2 == 0 else 1)
+    # wj1/wj2 cap the window j-grouping: the window kernel's scoped
+    # vmem holds a (tb, wjf*tile) operand, and at tile=1024 the
+    # auto wjf=4 block alone is 16 MB (the knob-table vmem-OOM row);
+    # capping wjf trades window grid steps for compileability
+    if "wj1" in ablate.split(","):
+        wjf = 1
+    elif "wj2" in ablate.split(","):
+        wjf = min(wjf, 2)
     w0 = jnp.clip(tile0 + t_idx - wt // 2, 0, ntiles_g - wt)  # global tiles
     w0 = (w0 // wjf) * wjf   # j-group alignment (see window_eval_pallas)
     w0n = w0 * npt                                          # node units

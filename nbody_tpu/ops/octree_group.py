@@ -740,6 +740,14 @@ def compute_force_grouped_fast(
     # placement; the in-window interval [lo_t, hi_t) derives from the
     # ALIGNED w0, so the exact/monopole partition stays consistent.
     wjf = 4 if wt % 4 == 0 else (2 if wt % 2 == 0 else 1)
+    # wj1/wj2 cap the window j-grouping: the window kernel's scoped
+    # vmem holds a (tb, wjf*tile) operand, and at tile=1024 the
+    # auto wjf=4 block alone is 16 MB (the knob-table vmem-OOM row);
+    # capping wjf trades window grid steps for compileability
+    if "wj1" in ablate.split(","):
+        wjf = 1
+    elif "wj2" in ablate.split(","):
+        wjf = min(wjf, 2)
     w0 = jnp.clip(tile0 + t_idx - wt // 2, 0, ntiles_g - wt)
     w0 = (w0 // wjf) * wjf
     w0_body = w0 * tile
