@@ -30,8 +30,11 @@ mask math.  Whichever rung owns the microseconds is the rewrite target.
 Feeds: BASELINE.md "Refined near-field cost model" (round-5 attack
 item 1: recover the 1.9 us/entry production-vs-ideal gap).
 
-Usage: probe_entry_overhead.py OUT [MODE] [S]
-  MODE in {ideal,sepmj,sel,when,switch,prod,all}; S in {1024,512,256}.
+Usage: probe_entry_overhead.py OUT [MODE] [S] [T]
+  MODE in {ideal,sepmj,sel,when,switch,prod,all}; S in {1024,512,256};
+  T (tiles; argv overrides PROBE_T) probes entry-per-tile SKEW: the
+  production galaxy averages ~84 entries/tile but is heavily skewed,
+  so sparse tiles switch the output block every few entries.
 Env: PROBE_PLATFORM=cpu + PROBE_INTERPRET=1 for CPU equivalence runs;
 PROBE_E / PROBE_DIM / PROBE_T override the synthetic workload.
 """
@@ -50,7 +53,7 @@ MODE = sys.argv[2] if len(sys.argv) > 2 else "all"
 S = int(sys.argv[3]) if len(sys.argv) > 3 else 1024
 E = int(os.environ.get("PROBE_E", 8192))
 DIM = int(os.environ.get("PROBE_DIM", 3))
-T = int(os.environ.get("PROBE_T", 128))   # tiles touched by `switch`/`prod`
+T = int(sys.argv[4]) if len(sys.argv) > 4 else     int(os.environ.get("PROBE_T", 128))   # tiles touched by switch/prod
 TB = 512
 PLATFORM = os.environ.get("PROBE_PLATFORM", "")
 INTERPRET = bool(int(os.environ.get("PROBE_INTERPRET", "0")))
