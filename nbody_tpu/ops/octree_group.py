@@ -520,6 +520,13 @@ def compute_force_grouped_fast(
     packing never paid because the per-step overhead is ~0.3 us, not
     the ~2 us the round-3 model assumed (BASELINE.md microbenchmark).
 
+    far-heap compaction (fheap) flipped to DEFAULT in round 4b: the
+    far-field masked eval runs over the NONEMPTY heap cells only
+    (auto cap 6144 3-D / 8192 2-D, lax.cond bit-exact dense fallback
+    on overflow) — won all four n=1M A/B configs by 3.5-17.6%
+    (results/r4/knob_oct.jsonl fheap rows).  Opt out: ablate="nofheap"
+    or far_heap_cap=0.
+
     Same design as the BVH windowed path (ops/bvh_group.py
     compute_force_grouped_windowed) adapted to the octree's fixed spatial
     cells -- the list-based path's per-level parent/child row gathers run
@@ -569,6 +576,10 @@ def compute_force_grouped_fast(
         epg = 8
     if "epg16" in ablate.split(","):  # A/B: quadruple entry packing
         epg = 16
+    if "desc1" in ablate.split(","):  # A/B: sparse supertile descent
+        descend_levels = 1            # (re-priced round 4b: the round-3
+    if "desc2" in ablate.split(","):  # 5.8 s number predates epg1/fheap/
+        descend_levels = 2            # merging -- pair-volume lever)
     from nbody_tpu.ops.pallas_group_eval import (
         entries_lohi_eval_pallas,
         group_shared_masked_eval_pallas,
@@ -930,10 +941,18 @@ def compute_force_grouped_fast(
         # auto caps: galaxy fresh counts 2755 (3-D) / 4296 (2-D) nonempty;
         # evolved scattered states occupy more cells, so the caps carry
         # ~2x headroom (each extra 1024 of width costs ~7 ms of eval at
-        # n=1M) -- far_heap_nonempty in info tracks the real count
+        # n=1M) -- far_heap_nonempty in info tracks the real count.
+        # DEFAULT since round 4b: the TPU A/B won ALL FOUR n=1M configs
+        # (3-D fresh 1.820->1.500 s, evolved 1.772->1.451; 2-D fresh
+        # 0.749->0.626, evolved 0.961->0.845 -- results/r4/knob_oct.jsonl)
+        # and overflow falls back to the dense eval bit-exactly via the
+        # lax.cond below.  Opt out with ablate="nofheap" (A/B) or
+        # far_heap_cap=0; ablate="fheap" remains a no-op alias.
         far_cap = far_heap_cap
-        if far_cap is None and "fheap" in ablate.split(","):
+        if far_cap is None and "nofheap" not in ablate.split(","):
             far_cap = 6144 if dim == 3 else 8192
+        if far_cap is not None and far_cap <= 0:
+            far_cap = None
         if far_cap is not None and far_cap < W_heap:
             alive_w = jnp.concatenate(heap_cnt) > 0             # (W,)
             idx_w = jnp.arange(W_heap, dtype=jnp.int32)

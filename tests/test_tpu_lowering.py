@@ -173,7 +173,8 @@ _KNOB_ABLATE_BVH_CASE = _KNOB_BVH_CASE.replace(
 
 
 @pytest.mark.parametrize("dim", [2, 3])
-@pytest.mark.parametrize("ablate", ["packedj", "fheap", "fheap,packedj"])
+@pytest.mark.parametrize("ablate", ["packedj", "fheap", "fheap,packedj",
+                                    "desc1", "nofheap"])
 def test_knob_octree_ablate_lowers(dim, ablate):
     _run(f"DIM = {dim}\nABLATE = {ablate!r}" + _KNOB_ABLATE_OCT_CASE)
 
