@@ -60,11 +60,17 @@ def measure(algo: str, n: int, iters_long: int = 2) -> float:
 def main():
     log({"probe": "f64_start"})
     budget = 40.0  # seconds of device time per dispatch we dare spend
-    # optional argv[2] restricts to one algo (retry of a crashed case)
+    # optional argv[2] restricts to one algo (retry of a crashed case);
+    # optional argv[3] is a comma-separated n list (the octree f64 step
+    # at 100k reproducibly crashes the tunnel worker -- one step exceeds
+    # the ~45 s single-dispatch budget -- so it must be measured smaller
+    # and extrapolated)
     algos = (sys.argv[2],) if len(sys.argv) > 2 else ("bvh", "octree")
+    n_list = (tuple(int(x) for x in sys.argv[3].split(","))
+              if len(sys.argv) > 3 else (100_000, 250_000, 1_000_000))
     for algo in algos:
         dt_small = None
-        for n in (100_000, 250_000, 1_000_000):
+        for n in n_list:
             if dt_small is not None:
                 # n log n scaling estimate of the next step cost; the
                 # timed dispatch runs iters_long+? steps back to back
