@@ -838,6 +838,17 @@ def compute_force_grouped_fast(
     com_L = heap_com[level_star]
     w2_L = jnp.where(heap_cnt[level_star] > 0,
                      jnp.max(cmax_L - cmin_L, axis=-1), 0.0) ** 2
+    # "subdiag" (diagnostic only, no force change): price the round-5
+    # per-SUBTILE MAC — if each 64-row subtile took its own accept/open
+    # decision at L* (still a conservative box MAC, just 8x finer on the
+    # i side), the near-field pair volume would be
+    #   sum_s sum_{c opened by s} cnt(c) * (tile/nsub)
+    # instead of today's sum_{c opened by tile} cnt(c) * tile.  Emits the
+    # raw per-subtile fail-width sum (divide by nsub and compare against
+    # near_width_cell_tile offline).  Subtile opens are a SUBSET of tile
+    # opens (subtile boxes nest in the tile box), so the ratio <= 1.
+    subdiag = "subdiag" in ablate.split(",")
+    sub_fail_w = jnp.zeros((), jnp.int32)
     min_dmin2 = None
     for s in range(nsub):
         d2s = jnp.zeros((ntiles, C), dtype)
@@ -848,12 +859,20 @@ def compute_force_grouped_fast(
             dd = jnp.maximum(dd, c - sb_hi[:, s, d][:, None])
             d2s = d2s + dd * dd
         min_dmin2 = d2s if min_dmin2 is None else jnp.minimum(min_dmin2, d2s)
+        if subdiag:
+            fail_s = open_mask & ~(w2_L[None, :] < theta2 * d2s)
+            sub_fail_w = sub_fail_w + jnp.sum(
+                jnp.where(fail_s, counts_L[None, :], 0), dtype=jnp.int32)
     mono = open_mask & (w2_L[None, :] < theta2 * min_dmin2)
     if not skip_mono:
         accept_masks[-1] = accept_masks[-1] | mono
         open_mask = open_mask & ~mono
 
     flag_diag = {}
+    if subdiag:
+        flag_diag["near_width_cell_subtile_xnsub"] = sub_fail_w
+        flag_diag["near_width_cell_tile"] = jnp.sum(
+            jnp.where(open_mask, counts_L[None, :], 0), dtype=jnp.int32)
     acc_bool = jnp.concatenate(accept_masks, axis=1)        # (T, W) bool
     mm_heap = jnp.concatenate(heap_mass)
     com_heap = jnp.concatenate(heap_com, axis=0)

@@ -100,7 +100,10 @@ def main():
     _, info = jax.jit(step)(st)
     diag = {k: int(info[k]) for k in ("entries", "fallback_tiles",
                                       "open_cells", "near_width_sum",
-                                      "near_unique_blocks") if k in info}
+                                      "near_unique_blocks",
+                                      "near_width_cell_tile",
+                                      "near_width_cell_subtile_xnsub")
+            if k in info}
 
     try:
         dtv = scan_seconds_per_step(loop, (st,), iters_short=1,
