@@ -103,8 +103,12 @@ def main():
     # entry-count diagnostics from one un-timed eval
     _, info = jax.jit(step)(st)
     diag = {k: int(info[k]) for k in ("entries", "fallback_tiles",
-                                      "res_width_sum",
+                                      "res_width_sum", "res_pairs",
                                       "res_unique_blocks") if k in info}
+    # per-subtile MAC pass histogram (round-5 pricing): residual nodes
+    # are fixed-width (body-median tree), so sum_k hist[k]*(nsub-k)/nsub
+    # over res_pairs is the per-subtile residual pair-volume ratio
+    diag.update({k: int(info[k]) for k in info if k.startswith("res_pass_")})
 
     try:
         dtv = scan_seconds_per_step(loop, (st,), iters_short=1,
