@@ -2,19 +2,25 @@
 """TPU probe: Morton-sort cost decomposition at n=1M + multi-operand
 lax.sort A/B.
 
-The octree step's largest non-force item is the Morton sort (~0.10-0.11 s
-at n=1M, BASELINE.md remainder decomposition).  Today's morton_sort is
-argsort (= lax.sort over (key, iota)) followed by three flat GATHERS
-(m[perm], x[perm], keys[perm]).  The alternative carries the payload
-columns THROUGH the sort network (lax.sort over (key, iota, m, x...),
-num_keys=1, stable) -- no gathers, but every compare-exchange moves
-3-5 extra f32 columns.  This probe times, per variant, chained in a
-scan so XLA cannot overlap iterations:
+The octree step's largest non-force item is the Morton sort phase
+(~0.10-0.11 s at n=1M, BASELINE.md round-4b remainder decomposition).
+Production (octree fast path) each step: morton_keys on the ORIGINAL
+user-visible body order -> argsort -> three flat gathers (m/x/keys) ->
+... -> one scatter un-permuting the sorted accel back.  Variants here
+reproduce that phase shape, each ending with the un-permute scatter so
+the scan carry returns to original order every iteration (genuine loop
+dependence, production-representative input order; rev 1 of this probe
+fed the SORTED output forward, so iterations 2..k sorted presorted
+data, and its zero-add dependence trick was constant-folded):
 
-  argsortgather  current production morton_sort
-  multisort      payload-carrying stable lax.sort
-  keysonly       argsort alone (sort-network floor)
-  keyscalc       Morton key computation alone (bit-interleave floor)
+  argsortgather  keys -> argsort -> 3 gathers -> scatter   (production)
+  multisort      keys -> payload-carrying stable lax.sort -> scatter
+  scatteronly    reverse-gather + reverse-scatter (scatter/gather floor,
+                 no sort, no keys)
+
+rev 1 results (presorted input, no scatter) stay in the jsonl for the
+record: argsortgather 6.9 ms, multisort 3.1 ms at n=1M 3-D -- the
+payload-carrying sort wins 2.2x there.
 
 Feeds: BASELINE.md remainder decomposition (round-4b) + any flip record.
 
@@ -65,34 +71,44 @@ def main():
     def v_argsortgather(m, x):
         keys = morton_keys(x, lo_r, hi_r, depth)
         perm = jnp.argsort(keys)
-        return m[perm], x[perm], keys[perm]
+        xs = x[perm]
+        xb = jnp.zeros_like(xs).at[perm].set(xs)   # accel un-permute analog
+        return m, xb
 
     def v_multisort(m, x):
         keys = morton_keys(x, lo_r, hi_r, depth)
         ops = (keys, iota, m) + tuple(x[:, d] for d in range(DIM))
         out = lax.sort(ops, num_keys=1, is_stable=True)
         xs = jnp.stack(out[3:], axis=1)
-        return out[2], xs, out[0]
+        xb = jnp.zeros_like(xs).at[out[1]].set(xs)
+        return m, xb
 
-    def v_keysonly(m, x):
-        keys = morton_keys(x, lo_r, hi_r, depth)
-        perm = jnp.argsort(keys)
-        return m, x, perm.astype(jnp.uint32)
-
-    def v_keyscalc(m, x):
-        keys = morton_keys(x, lo_r, hi_r, depth)
-        return m, x, keys
+    def v_scatteronly(m, x):
+        xr = x[::-1, :]
+        xb = jnp.zeros_like(x).at[iota[::-1]].set(xr)
+        return m, xb
 
     variants = {
         "argsortgather": v_argsortgather,
         "multisort": v_multisort,
-        "keysonly": v_keysonly,
-        "keyscalc": v_keyscalc,
+        "scatteronly": v_scatteronly,
     }
 
-    # equivalence pin (host-side, once): multisort == argsort+gather
-    ms_a, xs_a, ks_a = jax.jit(v_argsortgather)(m0, x0)
-    ms_b, xs_b, ks_b = jax.jit(v_multisort)(m0, x0)
+    # equivalence pin (host-side, once): multisort == argsort+gather on
+    # the SORTED tuple (permutation identity is what the flip relies on)
+    def sorted_a(m, x):
+        keys = morton_keys(x, lo_r, hi_r, depth)
+        perm = jnp.argsort(keys)
+        return m[perm], x[perm], keys[perm]
+
+    def sorted_b(m, x):
+        keys = morton_keys(x, lo_r, hi_r, depth)
+        ops = (keys, iota, m) + tuple(x[:, d] for d in range(DIM))
+        out = lax.sort(ops, num_keys=1, is_stable=True)
+        return out[2], jnp.stack(out[3:], axis=1), out[0]
+
+    ms_a, xs_a, ks_a = jax.jit(sorted_a)(m0, x0)
+    ms_b, xs_b, ks_b = jax.jit(sorted_b)(m0, x0)
     eq = bool((ms_a == ms_b).all()) and bool((xs_a == xs_b).all()) \
         and bool((ks_a == ks_b).all())
 
@@ -100,24 +116,18 @@ def main():
         @partial(jax.jit, static_argnames=("iters",))
         def loop(m, x, iters, fn=fn):
             def body(c, _):
-                mm, xx, kk = fn(c[0], c[1])
-                # fold the sorted output back so the next iteration
-                # depends on it (kk folded via a cheap xor-derived jitter
-                # that is always zero-valued: keeps the chain honest
-                # without changing positions)
-                jit_zero = (kk ^ kk).astype(xx.dtype)[:, None]
-                return (mm, xx + jit_zero), None
+                return fn(c[0], c[1]), None
 
             return lax.scan(body, (m, x), None, length=iters)[0][1]
 
         try:
             dtv = scan_seconds_per_step(loop, (m0, x0), iters_short=2,
                                         iters_long=10, repeats=2)
-            log({"probe": "mortonsort", "variant": name, "dim": DIM,
-                 "n": N, "sec": dtv, "equal": eq})
+            log({"probe": "mortonsort", "rev": 3, "variant": name,
+                 "dim": DIM, "n": N, "sec": dtv, "equal": eq})
         except Exception as e:  # noqa: BLE001
-            log({"probe": "mortonsort", "variant": name, "dim": DIM,
-                 "n": N, "error": str(e)[:300]})
+            log({"probe": "mortonsort", "rev": 3, "variant": name,
+                 "dim": DIM, "n": N, "error": str(e)[:300]})
 
 
 if __name__ == "__main__":
