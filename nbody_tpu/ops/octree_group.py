@@ -873,6 +873,58 @@ def compute_force_grouped_fast(
         flag_diag["near_width_cell_subtile_xnsub"] = sub_fail_w
         flag_diag["near_width_cell_tile"] = jnp.sum(
             jnp.where(open_mask, counts_L[None, :], 0), dtype=jnp.int32)
+    # "pbdiag" (diagnostic only, no force change): SAMPLED per-BODY MAC
+    # pricing -- the round-5 roadmap's prerequisite before any per-body
+    # near-field kernel work (docs/ROADMAP_r5.md section 1).  For ~64
+    # evenly-strided tiles, re-take the L* open/accept decision per BODY
+    # instead of per 512-row tile box, in both flavors:
+    #   pb_width_box  conservative body-to-cell-BOX MAC (still >= ref
+    #                 accuracy everywhere; the finest i-side granularity
+    #                 of the current conservative family)
+    #   pb_width_com  the reference's own body-to-COM MAC (approximate;
+    #                 octree.h:210-218 semantics) -- the lower bound any
+    #                 i-side refinement could reach
+    # All three sums are in PAIRS (body x source-body), f32 accumulators
+    # (counts overflow int32 at tile granularity: 135M widths x 512).
+    # Ratio to read offline: pb_width_box / pb_width_tile (sampled
+    # tile-MAC baseline, same tiles).  Mono cells pass every per-body
+    # test (d2_body >= subtile min d2 >= mono min d2), so using the
+    # post-mono open set is exact, not an approximation.
+    if "pbdiag" in ablate.split(","):
+        ST = min(64, ntiles)
+        stride = max(1, ntiles // ST)
+        samp = jnp.arange(ST, dtype=jnp.int32) * stride   # (ST,) tile ids
+        xs_t = xt_real[samp]                              # (ST, tile, dim)
+        open_s = open_mask[samp]                          # (ST, C)
+        cnt_f = counts_L.astype(jnp.float32)
+
+        def _pb_tile(args):
+            xb, op = args                                 # (tile,dim), (C,)
+            d2box = jnp.zeros((tile, counts_L.shape[0]), dtype)
+            d2com = jnp.zeros((tile, counts_L.shape[0]), dtype)
+            for d in range(dim):
+                lo_c = cmin_L[:, d][None, :]
+                hi_c = cmax_L[:, d][None, :]
+                xv = xb[:, d][:, None]
+                dd = jnp.maximum(lo_c - xv, jnp.zeros((), dtype))
+                dd = jnp.maximum(dd, xv - hi_c)
+                d2box = d2box + dd * dd
+                dc = xv - com_L[:, d][None, :]
+                d2com = d2com + dc * dc
+            failb = op[None, :] & ~(w2_L[None, :] < theta2 * d2box)
+            failc = op[None, :] & ~(w2_L[None, :] < theta2 * d2com)
+            wb = jnp.sum(jnp.where(failb, cnt_f[None, :], 0.0),
+                         dtype=jnp.float32)
+            wc = jnp.sum(jnp.where(failc, cnt_f[None, :], 0.0),
+                         dtype=jnp.float32)
+            wt_ = jnp.sum(jnp.where(op, cnt_f, 0.0),
+                          dtype=jnp.float32) * float(tile)
+            return wb, wc, wt_
+
+        wbs, wcs, wts = jax.lax.map(_pb_tile, (xs_t, open_s))
+        flag_diag["pb_width_box"] = jnp.sum(wbs)
+        flag_diag["pb_width_com"] = jnp.sum(wcs)
+        flag_diag["pb_width_tile"] = jnp.sum(wts)
     acc_bool = jnp.concatenate(accept_masks, axis=1)        # (T, W) bool
     mm_heap = jnp.concatenate(heap_mass)
     com_heap = jnp.concatenate(heap_com, axis=0)

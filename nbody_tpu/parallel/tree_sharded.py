@@ -268,7 +268,8 @@ def make_sharded_octree_step(cfg: SimConfig, opts):
             mp, xp, jnp.stack([lo, hi])
         )
         a_sorted = a_all[:n]
-        a = jnp.zeros_like(a_sorted).at[perm].set(a_sorted)
+        from nbody_tpu.ops.permutation import unpermute_rows
+        a = unpermute_rows(a_sorted, perm)
         state = dataclasses.replace(state, a=a)
         aux = {"overflow": over, "tree_size": tree_size,
                "root_mass": root_mass}

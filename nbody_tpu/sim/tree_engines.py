@@ -14,6 +14,8 @@ import dataclasses
 
 import jax
 import jax.numpy as jnp
+
+from nbody_tpu.ops.permutation import unpermute_rows
 import numpy as np
 
 from nbody_tpu.config import SimConfig
@@ -300,7 +302,7 @@ class OctreeEngine:
 
         @jax.jit
         def scatter_fn(a_sorted, perm):
-            return jnp.zeros_like(a_sorted).at[perm].set(a_sorted)
+            return unpermute_rows(a_sorted, perm)
 
         integrate = jax.jit(lambda s: leapfrog_step(s, cfg.dt))
 
@@ -365,7 +367,7 @@ class OctreeEngine:
 
         @jax.jit
         def scatter_fn(a_sorted, perm):
-            return jnp.zeros_like(a_sorted).at[perm].set(a_sorted)
+            return unpermute_rows(a_sorted, perm)
 
         tsize_fn = jax.jit(lambda ks: tree_size_from_keys(ks, depth, dim))
         integrate = jax.jit(lambda s: leapfrog_step(s, cfg.dt))

@@ -73,7 +73,11 @@ def main():
         a_s, info = compute_force_grouped_windowed(
             tree, m, x, theta, G, eps, tile=tile, s_target=s_target,
             window_tiles=wt, ablate=ablate, interpret=INTERPRET)
-        a = jnp.zeros_like(a_s).at[perm].set(a_s)
+        if "sortunperm" in ablate.split(","):   # A/B: sort-based un-permute
+            from nbody_tpu.ops.permutation import unpermute_rows
+            a = unpermute_rows(a_s, perm)
+        else:
+            a = jnp.zeros_like(a_s).at[perm].set(a_s)
         return leapfrog_step(dataclasses.replace(s, a=a), dt), info
 
     st = state

@@ -13,10 +13,14 @@ dependence, production-representative input order; rev 1 of this probe
 fed the SORTED output forward, so iterations 2..k sorted presorted
 data, and its zero-add dependence trick was constant-folded):
 
-  argsortgather  keys -> argsort -> 3 gathers -> scatter   (production)
+  argsortgather  keys -> argsort -> 3 gathers -> scatter   (pre-flip)
   multisort      keys -> payload-carrying stable lax.sort -> scatter
   scatteronly    reverse-gather + reverse-scatter (scatter/gather floor,
                  no sort, no keys)
+  sortunperm     production POST-FLIP phase: morton_sort (payload sort)
+                 + unpermute_rows (second payload sort) -- no scatter
+                 anywhere (rev 4; validates the ops/permutation.py flip
+                 on hardware)
 
 rev 1 results (presorted input, no scatter) stay in the jsonl for the
 record: argsortgather 6.9 ms, multisort 3.1 ms at n=1M 3-D -- the
@@ -58,7 +62,9 @@ def main():
 
     from nbody_tpu.models import build_galaxy_model
     from nbody_tpu.ops.geometry import scalar_bounds
-    from nbody_tpu.ops.octree import max_depth, morton_keys, robust_quant_box
+    from nbody_tpu.ops.octree import (max_depth, morton_keys, morton_sort,
+                                      robust_quant_box)
+    from nbody_tpu.ops.permutation import unpermute_rows
     from nbody_tpu.utils.measure import scan_seconds_per_step
 
     cfg, state = build_galaxy_model(N, DIM, np.float32)
@@ -88,10 +94,17 @@ def main():
         xb = jnp.zeros_like(x).at[iota[::-1]].set(xr)
         return m, xb
 
+    def v_sortunperm(m, x):
+        # the flipped production phase end-to-end: payload-carrying sort
+        # in, payload-carrying sort out (xb == x bit-exactly)
+        ms, xs, ks, perm = morton_sort(m, x, lo_r, hi_r, depth)
+        return m, unpermute_rows(xs, perm)
+
     variants = {
         "argsortgather": v_argsortgather,
         "multisort": v_multisort,
         "scatteronly": v_scatteronly,
+        "sortunperm": v_sortunperm,
     }
 
     # equivalence pin (host-side, once): multisort == argsort+gather on
@@ -123,10 +136,10 @@ def main():
         try:
             dtv = scan_seconds_per_step(loop, (m0, x0), iters_short=2,
                                         iters_long=10, repeats=2)
-            log({"probe": "mortonsort", "rev": 3, "variant": name,
+            log({"probe": "mortonsort", "rev": 4, "variant": name,
                  "dim": DIM, "n": N, "sec": dtv, "equal": eq})
         except Exception as e:  # noqa: BLE001
-            log({"probe": "mortonsort", "rev": 3, "variant": name,
+            log({"probe": "mortonsort", "rev": 4, "variant": name,
                  "dim": DIM, "n": N, "error": str(e)[:300]})
 
 

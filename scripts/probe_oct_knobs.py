@@ -70,7 +70,11 @@ def main():
             ms, xs, ks, lo_r, hi_r, depth, theta, G, eps, tile=tile,
             s_block=s_block, window_tiles=wt, ablate=ablate,
             interpret=INTERPRET)
-        a = jnp.zeros_like(a_sorted).at[perm].set(a_sorted)
+        if "sortunperm" in ablate.split(","):   # A/B: sort-based un-permute
+            from nbody_tpu.ops.permutation import unpermute_rows
+            a = unpermute_rows(a_sorted, perm)
+        else:
+            a = jnp.zeros_like(a_sorted).at[perm].set(a_sorted)
         return leapfrog_step(dataclasses.replace(s, a=a), dt), info
 
     st = state
@@ -104,6 +108,8 @@ def main():
                                       "near_width_cell_tile",
                                       "near_width_cell_subtile_xnsub")
             if k in info}
+    diag.update({k: float(info[k]) for k in ("pb_width_box", "pb_width_com",
+                                             "pb_width_tile") if k in info})
 
     try:
         dtv = scan_seconds_per_step(loop, (st,), iters_short=1,
