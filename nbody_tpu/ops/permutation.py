@@ -19,6 +19,35 @@ import jax.numpy as jnp
 from jax import lax
 
 
+def sort_arrays_by_u32pair(hi: jnp.ndarray, lo: jnp.ndarray,
+                           *arrays: jnp.ndarray) -> tuple:
+    """Stable-sort 1-D/2-D row arrays by the (hi, lo) u32 key pair via ONE
+    multi-operand lax.sort, carrying every column as payload.  Bit-identical
+    order to jnp.lexsort((lo, hi)) followed by row gathers (stability pinned
+    in tests/test_permutation.py), but without the gathers: the TPU analog
+    of the reference's zip sort (bvh.h:24-96).  Returns the arrays in key
+    order (keys themselves are not returned)."""
+    cols = []
+    splits = []  # (ncols, orig_ndim) per array, to re-pack below
+    for a in arrays:
+        if a.ndim == 1:
+            cols.append(a)
+            splits.append(1)
+        else:
+            cols.extend(a[:, d] for d in range(a.shape[1]))
+            splits.append(a.shape[1])
+    out = lax.sort((hi, lo) + tuple(cols), num_keys=2, is_stable=True)
+    res = []
+    k = 2
+    for a, nc in zip(arrays, splits):
+        if a.ndim == 1:
+            res.append(out[k])
+        else:
+            res.append(jnp.stack(out[k:k + nc], axis=1))
+        k += nc
+    return tuple(res)
+
+
 def unpermute_rows(a_sorted: jnp.ndarray, perm: jnp.ndarray) -> jnp.ndarray:
     """Invert a row permutation: returns `out` with out[perm[i]] =
     a_sorted[i], exactly like zeros_like(a_sorted).at[perm].set(a_sorted)

@@ -62,3 +62,23 @@ def test_unpermute_rows_jit_and_grid_sizes():
     got = jax.jit(unpermute_rows)(a, perm)
     want = jnp.zeros_like(a).at[perm].set(a)
     assert (got == want).all()
+
+
+@pytest.mark.parametrize("dim", [2, 3])
+def test_sort_arrays_by_u32pair_matches_lexsort_gather(dim):
+    # the BVH hilbert-sort phase shape: 13 payload columns (m,x,v,a,ao),
+    # duplicate (hi, lo) keys force the stability requirement
+    from nbody_tpu.ops.permutation import sort_arrays_by_u32pair
+
+    n = 4096
+    rng = np.random.default_rng(11 + dim)
+    hi = jnp.asarray(rng.integers(0, 4, n, dtype=np.uint32))
+    lo = jnp.asarray(rng.integers(0, 16, n, dtype=np.uint32))
+    m = jnp.asarray(rng.uniform(0.5, 2.0, n), jnp.float32)
+    mats = [jnp.asarray(rng.standard_normal((n, dim)), jnp.float32)
+            for _ in range(4)]
+    perm = jnp.lexsort((lo, hi))
+    got = jax.jit(sort_arrays_by_u32pair)(hi, lo, m, *mats)
+    assert (got[0] == m[perm]).all()
+    for g, a in zip(got[1:], mats):
+        assert (g == a[perm]).all()
