@@ -342,8 +342,22 @@ def _clear_tpu_competitors(max_wait_s: int = 1200) -> None:
             stack.extend(kids.get(p, []))
         return out
 
+    # tpu_drain.sh polls for new work FOREVER (its END sentinel is
+    # dedup-consumed after the first pass); ask it to exit via its stop
+    # file, and treat a queue with no running child case as idle --
+    # killable immediately, it cannot be mid-measurement.
+    try:
+        with open("/tmp/drain_stop", "w") as fh:
+            fh.write(str(os.getpid()))
+    except OSError:
+        pass
+
+    def _busy(pid: int) -> bool:
+        return len(_tree(pid)) > 1  # bash + a running case child
+
     pids = []
-    for pf in ("/tmp/queue.pid", "/tmp/queue2.pid"):
+    for pf in ("/tmp/queue.pid", "/tmp/queue2.pid", "/tmp/queue3.pid",
+               "/tmp/queue4.pid", "/tmp/queue5.pid", "/tmp/drain.pid"):
         try:
             with open(pf) as fh:
                 pid = int(fh.read().split()[0])
@@ -354,7 +368,8 @@ def _clear_tpu_competitors(max_wait_s: int = 1200) -> None:
     if not pids:
         return
     deadline = _time.monotonic() + max_wait_s
-    while _time.monotonic() < deadline and any(_alive(p) for p in pids):
+    while _time.monotonic() < deadline and any(
+            _alive(p) and _busy(p) for p in pids):
         _time.sleep(30)
     survivors = [p for p in pids if _alive(p)]
     if survivors:

@@ -57,6 +57,12 @@ if [ -f /tmp/queue3.pid ] && kill -0 "$(cat /tmp/queue3.pid)" 2>/dev/null; then
 fi
 
 while true; do
+    # bench.py owns the TPU at end of round: it touches this stop file
+    # before waiting on /tmp/drain.pid (see bench._clear_tpu_competitors)
+    if [ -f /tmp/drain_stop ]; then
+        log "=== drain stop requested (/tmp/drain_stop) ==="
+        exit 0
+    fi
     ran_any=0
     while IFS= read -r line; do
         [ -z "$line" ] && continue
