@@ -20,7 +20,10 @@ Usage: probe_bvh_sort.py OUT.jsonl DIM N
 from __future__ import annotations
 
 import json
+import os
 import sys
+
+sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
 
 
 def log(rec):
