@@ -33,7 +33,8 @@ import jax
 import jax.numpy as jnp
 
 from nbody_tpu.ops.geometry import aabb_of_points, dist3_from_d2
-from nbody_tpu.ops.hilbert import hilbert_sort_perm
+from nbody_tpu.ops.hilbert import hilbert_key_u32pair, quantize
+from nbody_tpu.ops.permutation import sort_arrays_by_u32pair
 from nbody_tpu.state import SystemState
 
 
@@ -241,21 +242,19 @@ def bvh_step_force(state: SystemState, theta: float, G: float, eps: float,
         true_curve = False
     if resort:
         xmin, xmax = aabb_of_points(state.x, eps)
-        perm = hilbert_sort_perm(state.x, xmin, xmax, true_curve=true_curve)
-        # pack all body arrays into one (n, 1+4*dim) matrix so the
-        # permutation is a single gather (five separate gathers measured
-        # ~4x slower at n=100k)
+        # payload-carrying lax.sort instead of lexsort + one packed
+        # (n, 1+4*dim) row gather: all 13 body columns ride the sort
+        # network's compare-exchanges.  Bit-identical order (stable sort,
+        # pinned vs lexsort+gather in tests/test_permutation.py) and
+        # measured faster at n=1M on v5e: 8.29 vs 9.70 ms/step 3-D,
+        # 5.99 vs 9.23 ms 2-D (results/r4/bvh_sort.jsonl).  The packed
+        # gather itself had already beaten five separate gathers ~4x.
         n, dim = state.x.shape
-        packed = jnp.concatenate(
-            [state.m[:, None], state.x, state.v, state.a, state.ao], axis=1
-        )[perm]
-        state = SystemState(
-            m=packed[:, 0],
-            x=packed[:, 1 : 1 + dim],
-            v=packed[:, 1 + dim : 1 + 2 * dim],
-            a=packed[:, 1 + 2 * dim : 1 + 3 * dim],
-            ao=packed[:, 1 + 3 * dim : 1 + 4 * dim],
-        )
+        cell = quantize(state.x, xmin, xmax - xmin, dim)
+        hi, lo = hilbert_key_u32pair(cell, dim, true_curve=true_curve)
+        m, x, v, a, ao = sort_arrays_by_u32pair(
+            hi, lo, state.m, state.x, state.v, state.a, state.ao)
+        state = SystemState(m=m, x=x, v=v, a=a, ao=ao)
     tree = build_tree(state.m, state.x, eps)
     if traversal == "group":
         from nbody_tpu.ops.bvh_group import (
