@@ -125,19 +125,22 @@ class BVHEngine:
             compute_force,
         )
         from nbody_tpu.ops.geometry import aabb_of_points
-        from nbody_tpu.ops.hilbert import hilbert_sort_perm
+        from nbody_tpu.ops.hilbert import hilbert_key_u32pair, quantize
+        from nbody_tpu.ops.permutation import sort_arrays_by_u32pair
 
         theta, G, eps = float(cfg.theta), float(cfg.G), cfg.eps
 
         bbox_fn = jax.jit(lambda x: aabb_of_points(x, eps))
-        perm_fn = jax.jit(hilbert_sort_perm)
+        # same payload-carrying sort as the production step (ops/bvh.py
+        # resort phase) so detailed timings stay representative
+        keys_fn = jax.jit(lambda x, xmin, xmax: hilbert_key_u32pair(
+            quantize(x, xmin, xmax - xmin, x.shape[1]), x.shape[1]))
 
         @jax.jit
-        def permute_fn(state, perm):
-            return dataclasses.replace(
-                state, m=state.m[perm], x=state.x[perm], v=state.v[perm],
-                a=state.a[perm], ao=state.ao[perm],
-            )
+        def sort_state_fn(state, hi, lo):
+            m, x, v, a, ao = sort_arrays_by_u32pair(
+                hi, lo, state.m, state.x, state.v, state.a, state.ao)
+            return dataclasses.replace(state, m=m, x=x, v=v, a=a, ao=ao)
 
         build_fn = jax.jit(lambda m, x: build_tree(m, x, eps))
         if opts.traversal == "group":
@@ -176,9 +179,9 @@ class BVHEngine:
         def detailed(state: SystemState):
             phases = {}
             (xmin, xmax), phases["bbox"] = _timed(bbox_fn, state.x)
-            perm, t_perm = _timed(perm_fn, state.x, xmin, xmax)
-            state, t_apply = _timed(permute_fn, state, perm)
-            phases["sort"] = t_perm + t_apply
+            (hi, lo), t_keys = _timed(keys_fn, state.x, xmin, xmax)
+            state, t_sort = _timed(sort_state_fn, state, hi, lo)
+            phases["sort"] = t_keys + t_sort
             tree, phases["multipoles"] = _timed(build_fn, state.m, state.x)
             (a, finfo), phases["force approx"] = _timed(
                 force_fn, tree, state.m, state.x
