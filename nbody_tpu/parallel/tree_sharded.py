@@ -124,8 +124,9 @@ def make_sharded_bvh_step(cfg: SimConfig, opts):
         compute_force_grouped_windowed,
     )
     from nbody_tpu.ops.geometry import aabb_of_points
-    from nbody_tpu.ops.hilbert import hilbert_sort_perm
+    from nbody_tpu.ops.hilbert import hilbert_key_u32pair, quantize
     from nbody_tpu.ops.integrator import leapfrog_step
+    from nbody_tpu.ops.permutation import sort_arrays_by_u32pair
 
     n_shards = opts.mesh
     tile = opts.group_tile
@@ -164,17 +165,13 @@ def make_sharded_bvh_step(cfg: SimConfig, opts):
     def step(state: SystemState, k):
         n, dim = state.x.shape
         xmin, xmax = aabb_of_points(state.x, eps)
-        perm = hilbert_sort_perm(state.x, xmin, xmax)
-        packed = jnp.concatenate(
-            [state.m[:, None], state.x, state.v, state.a, state.ao], axis=1
-        )[perm]
-        state = SystemState(
-            m=packed[:, 0],
-            x=packed[:, 1:1 + dim],
-            v=packed[:, 1 + dim:1 + 2 * dim],
-            a=packed[:, 1 + 2 * dim:1 + 3 * dim],
-            ao=packed[:, 1 + 3 * dim:1 + 4 * dim],
-        )
+        # same payload-carrying sort as the single-chip resort phase
+        # (ops/bvh.py; bit-exact vs lexsort+gather, measured faster)
+        hi, lo = hilbert_key_u32pair(
+            quantize(state.x, xmin, xmax - xmin, dim), dim)
+        m_, x_, v_, a_, ao_ = sort_arrays_by_u32pair(
+            hi, lo, state.m, state.x, state.v, state.a, state.ao)
+        state = SystemState(m=m_, x=x_, v=v_, a=a_, ao=ao_)
         npad = _round_up(n, n_shards * tile)
         mp, xp = _pad_bodies(state.m, state.x, npad)
         a_all, over, root_mass = mapped(mp, xp)
