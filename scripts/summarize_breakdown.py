@@ -5,14 +5,19 @@ Feeds: BASELINE.md per-phase breakdown table (pairs with probe_r4_breakdown.py).
 
 Phase cost = step("none") - step(ablate-that-removes-the-phase); ablates
 that keep a build but skip an eval (nlist/rlist) isolate build vs eval.
-Usage: summarize_breakdown.py /tmp/bd_oct3.json [...]
+Usage: summarize_breakdown.py [--latest] /tmp/bd_oct3.json [...]
+
+--latest: when a jsonl holds re-runs of the same case (e.g. pre- and
+post-flip arms appended over a round), keep only the LAST occurrence of
+each (algo, dim, evolved, ablate) instead of the default min() — use it
+to summarize the current-HEAD arm set.
 """
 
 import json
 import sys
 
 
-def load(path):
+def load(path, latest=False):
     # one jsonl may interleave engines/configs: group by (algo, dim,
     # evolved) so octree and bvh ablates never collide in one table
     groups = {}
@@ -30,14 +35,19 @@ def load(path):
                  rec.get("evolved", "?"))
             best = groups.setdefault(g, {})
             key = rec["ablate"]
-            best[key] = min(best.get(key, 1e9), rec["sec"])
+            if latest:
+                best[key] = rec["sec"]
+            else:
+                best[key] = min(best.get(key, 1e9), rec["sec"])
     return groups
 
 
 def main():
-    for path in sys.argv[1:]:
-        print(f"== {path}")
-        for (algo, dim, evolved), b in sorted(load(path).items()):
+    argv = sys.argv[1:]
+    latest = "--latest" in argv
+    for path in [a for a in argv if a != "--latest"]:
+        print(f"== {path}" + (" (latest arms)" if latest else ""))
+        for (algo, dim, evolved), b in sorted(load(path, latest).items()):
             print(f" -- {algo} dim={dim} evolved={evolved}")
             if "none" not in b:
                 print("  no baseline 'none' case");  continue
