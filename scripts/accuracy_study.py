@@ -156,10 +156,23 @@ def oracle_force(m64, x64, cfg, softening="allpairs"):
     from nbody_tpu.ops.allpairs import allpairs_accel
 
     if softening == "allpairs":
-        return np.asarray(
-            allpairs_accel(jnp.asarray(m64), jnp.asarray(x64),
-                           float(cfg.G), float(cfg.eps), chunk=1024),
-            np.float64)
+        if x64.shape[0] <= 262144:
+            return np.asarray(
+                allpairs_accel(jnp.asarray(m64), jnp.asarray(x64),
+                               float(cfg.G), float(cfg.eps), chunk=1024),
+                np.float64)
+        # n=1M: allpairs_accel's lax.map runs ALL chunks in ONE dispatch
+        # -- minutes of emulated-f64 device time, over the tunnel's ~45 s
+        # worker-kill budget.  Host-chunk instead (identical math +
+        # j-summation order: same _accel_rows per row block).
+        from nbody_tpu.ops.allpairs import _accel_rows
+
+        mj, xj = jnp.asarray(m64), jnp.asarray(x64)
+        G, eps = float(cfg.G), float(cfg.eps)
+        rows = jax.jit(lambda xi: _accel_rows(xi, mj, xj, G, eps))
+        n = x64.shape[0]
+        return np.concatenate([np.asarray(rows(xj[i:i + 1024]))
+                               for i in range(0, n, 1024)])
 
     eps, G = float(cfg.eps), float(cfg.G)
     mj, xj = jnp.asarray(m64), jnp.asarray(x64)
@@ -231,6 +244,12 @@ def main():
                    help=f"pre-roll {PREROLL} fp32 fast steps first")
     p.add_argument("--no-ap-oracle", action="store_true",
                    help="skip the f64 all-pairs oracle legs (large n)")
+    p.add_argument("--legs", default="fp32fast,f64group",
+                   help="force-error legs subset: at n=1M the f64 group "
+                        "leg is one >45 s dispatch on the tunnel (worker "
+                        "kill) and hours on this 1-core CPU, so the "
+                        "production-scale run is --legs fp32fast (the "
+                        "f64group leg is characterized at n=131072)")
     p.add_argument("--force-error", action="store_true",
                    help="single-EVALUATION force error vs the f64 "
                         "all-pairs oracle (no trajectory): the "
@@ -253,9 +272,10 @@ def main():
                     "dim": dim, "algo": algo, "n": N, "steps": 0,
                     "theta": THETA, "evolved": bool(a.evolved),
                 }
-                for dtype, fast, label in (
-                        (np.float32, True, "fp32fast"),
-                        (np.float64, False, "f64group")):
+                legs = [(np.float32, True, "fp32fast"),
+                        (np.float64, False, "f64group")]
+                legs = [t for t in legs if t[2] in a.legs.split(",")]
+                for dtype, fast, label in legs:
                     print(f"# force {algo} {dim}-D {label} "
                           f"evolved={a.evolved} ...", file=sys.stderr,
                           flush=True)
