@@ -46,6 +46,7 @@ Two implementations share this module:
 
 from __future__ import annotations
 
+import math
 from functools import partial
 
 import jax
@@ -489,6 +490,13 @@ def compute_force_grouped_windowed(
         epg = 8
     if "epg16" in ablate.split(","):  # A/B: quadruple entry packing
         epg = 16
+    sub_width = None                  # A/B: subwN = residual pair math in
+    d_block = None                    # N-wide pl.when subwindows; dblkN =
+    for _tok in ablate.split(","):    # residual DMA blocks WIDER than the
+        if _tok.startswith("subw") and _tok[4:].isdigit():   # node size
+            sub_width = int(_tok[4:])  # (adjacent open nodes merge into
+        if _tok.startswith("dblk") and _tok[4:].isdigit():   # one entry)
+            d_block = int(_tok[4:])
     from nbody_tpu.ops.pallas_group_eval import (
         masked_eval_bits_pallas,
         masked_eval_pallas,
@@ -523,6 +531,15 @@ def compute_force_grouped_windowed(
     # FULL padded body arrays (window/entry j-blocks address them)
     ntiles_g = -(-n // tile)
     npad_g = ntiles_g * tile
+    if nrows is None and d_block and npad_g % d_block:
+        # a residual DMA block wider than the tile-rounded pad needs
+        # npad_g divisible by it (partial tail block would index OOB);
+        # sharded callers partition rows against the tile-rounded pad,
+        # so only the single-chip path widens it
+        lcm_bd = tile * d_block // math.gcd(tile, d_block)
+        npad_g = -(-n // lcm_bd) * lcm_bd
+        ntiles_g = npad_g // tile
+        ntiles, npad = ntiles_g, npad_g   # i side covers the widened pad
     xp_g = jnp.pad(x, ((0, npad_g - n), (0, 0)))
     mp_g = jnp.pad(m, (0, npad_g - n))
     if nrows is None:
@@ -550,6 +567,14 @@ def compute_force_grouped_windowed(
     # (S < 128 at n < ~64k with default s_target) stream 128-wide blocks
     # and locate the node's S2-range inside them via the lo/hi table
     Sd = max(S, min(128, npad_g))
+    if d_block:
+        # wider residual DMA block: a node's [row0, row0 + S2) never
+        # straddles an Sd block iff Sd % S2 == 0; S2 = S >> ref_lv <= S,
+        # so requiring d_block % S == 0 covers every refinement level
+        if d_block % S or npad_g % d_block:
+            raise ValueError("dblk must be a multiple of the node size "
+                             "and divide the padded body count")
+        Sd = d_block
     if refine_levels is None:
         # measured at n=1M galaxy (both dims): refinement is strictly
         # COUNTERPRODUCTIVE here -- implicit-BVH children halve the BODY
@@ -871,6 +896,7 @@ def compute_force_grouped_windowed(
             float(eps), S=Sd, tb=tile, interpret=interpret, softening="poly",
             n_real=n_merged, epg=epg,
             packed_j="packedj" in ablate.split(","),
+            sub_width=sub_width,
         )
 
     acc = far + near + resid

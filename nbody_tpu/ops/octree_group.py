@@ -36,6 +36,7 @@ Traversal structure (see bvh_group for the rationale):
 
 from __future__ import annotations
 
+import math
 from functools import partial
 
 import jax
@@ -580,6 +581,11 @@ def compute_force_grouped_fast(
         descend_levels = 1            # (re-priced round 4b: the round-3
     if "desc2" in ablate.split(","):  # 5.8 s number predates epg1/fheap/
         descend_levels = 2            # merging -- pair-volume lever)
+    sub_width = None
+    for _tok in ablate.split(","):    # A/B: subwN = near-eval pair math in
+        if _tok.startswith("subw") and _tok[4:].isdigit():
+            sub_width = int(_tok[4:])  # N-wide pl.when subwindows (wide-S
+            break                      # entries, width-proportional math)
     from nbody_tpu.ops.pallas_group_eval import (
         entries_lohi_eval_pallas,
         group_shared_masked_eval_pallas,
@@ -598,6 +604,21 @@ def compute_force_grouped_fast(
     # replicated heap/run table; see parallel/tree_sharded.py)
     ntiles_g = -(-n // tile)
     npad_g = ntiles_g * tile
+    if nrows is None:
+        # honor an S-block WIDER than the tile-rounded pad: npad_g must be
+        # a multiple of both tile and S (a partial tail S-block would
+        # index OOB).  Without this, the `npad_g % S` guard below silently
+        # DEGRADED s_block=2048 to 1024 at n=1M (1954*512 % 2048 != 0) --
+        # the round-4 "S>1024 is a no-op" knob reading measured that
+        # degrade, not a wide block.  Sharded callers (nrows != None)
+        # partition rows against the tile-rounded pad, so only the
+        # single-chip path widens it; there the degrade guard still rules.
+        S_req = s_block if s_block is not None else (1024 if dim == 3 else 256)
+        S_req = max(128, min(S_req, npad_g))
+        if npad_g % S_req:
+            lcm = tile * S_req // math.gcd(tile, S_req)
+            npad_g = -(-n // lcm) * lcm
+            ntiles_g = npad_g // tile
     xp_g = jnp.pad(xs, ((0, npad_g - n), (0, 0)))
     mp_g = jnp.pad(ms, (0, npad_g - n))
     if nrows is None:
@@ -1274,6 +1295,7 @@ def compute_force_grouped_fast(
                 softening="sqrt3", n_real=n_merged,
                 skip_empty="noskip" not in ablate.split(","), epg=epg,
                 packed_j="packedj" in ablate.split(","),
+                sub_width=sub_width,
             )
         n_entries_info = n_merged
         desc_diag = {"entries_raw": end_rank[-1]}
@@ -1440,7 +1462,8 @@ def compute_force_grouped_fast(
                 float(eps), S=S, tb=tile, interpret=interpret,
                 softening="sqrt3", n_real=n_real2,
                 skip_empty="noskip" not in ablate.split(","), epg=epg,
-                packed_j="packedj" in ablate.split(","))
+                packed_j="packedj" in ablate.split(","),
+                sub_width=sub_width)
         n_entries_info = n_real2
         near_width_sum = jnp.sum((lohis >> 16) - (lohis & 0xFFFF))
         desc_diag = dict(res.diag)

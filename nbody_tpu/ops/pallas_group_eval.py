@@ -772,8 +772,8 @@ def _entries_tables_kernel(dim, eps, softening, S, ent_ref, blk_ref,
             out_ref[:, d] += jnp.sum(w * dx[d], axis=1)
 
 
-def _entries_lohi_kernel(dim, eps, softening, S, skip_empty, epg, ent_ref,
-                         lohi_ref, xi_ref, *rest):
+def _entries_lohi_kernel(dim, eps, softening, S, skip_empty, epg, sub_width,
+                         ent_ref, lohi_ref, xi_ref, *rest):
     """Self-describing entry evaluation (sparse-descent near field): each
     entry carries its own j block id (tile_id << 16 | blk) and [lo, hi)
     subrange (lo | hi << 16) -- no run-table indirection, so entries can
@@ -781,7 +781,15 @@ def _entries_lohi_kernel(dim, eps, softening, S, skip_empty, epg, ent_ref,
     boundaries).  lo == hi is the padding sentinel; by default it is
     SKIPPED with pl.when (measured A/B at n=1M 3-D: skipping saves
     ~0.09 s of pad-tail math and, unlike the small-block case where
-    pl.when stalled Mosaic 1.6x, costs nothing at 512x1024 blocks)."""
+    pl.when stalled Mosaic 1.6x, costs nothing at 512x1024 blocks).
+
+    sub_width (None = whole block, the default) splits the S-wide pair
+    math into S/sub_width pl.when-guarded subwindows evaluated only
+    where they overlap the entry's [lo, hi): with a WIDE S (fewer
+    entries, fewer grid steps + DMAs) the math still scales with the
+    entry's occupied width at sub_width granularity, and the (tb, S)
+    pair intermediates that crash the Mosaic compiler at 512x4096 never
+    materialize -- each subwindow's live set is (tb, sub_width)."""
     xjt_refs = rest[:epg]
     mj_refs = rest[epg:2 * epg]
     out_ref = rest[2 * epg + 1]
@@ -796,19 +804,21 @@ def _entries_lohi_kernel(dim, eps, softening, S, skip_empty, epg, ent_ref,
 
     xi = xi_ref[:, :]
     eps_v = jnp.asarray(eps, xi.dtype)
-    lane = jax.lax.broadcasted_iota(jnp.int32, (1, S), 1)
+    SUBW = sub_width if sub_width else S
+    lane = jax.lax.broadcasted_iota(jnp.int32, (1, SUBW), 1)
 
     def one(k):
         lohi = lohi_ref[e * epg + k]
         lo = lohi & 0xFFFF
         hi = lohi >> 16
 
-        def body():
-            sel = ((lane >= lo) & (lane < hi)).astype(xi.dtype)
+        def body(w0):
+            sel = ((lane + w0 >= lo) & (lane + w0 < hi)).astype(xi.dtype)
             dx = []
             d2 = None
             for d in range(dim):
-                xd = xjt_refs[k][d, :][None, :] - xi[:, d][:, None]
+                xd = (xjt_refs[k][d, w0:w0 + SUBW][None, :]
+                      - xi[:, d][:, None])
                 dx.append(xd)
                 d2 = xd * xd if d2 is None else d2 + xd * xd
             if softening == "poly":
@@ -818,28 +828,34 @@ def _entries_lohi_kernel(dim, eps, softening, S, skip_empty, epg, ent_ref,
                 t = s * s * s
             r = pl.reciprocal(t, approx=True)
             r = r * (jnp.asarray(2.0, xi.dtype) - t * r)
-            w = (sel * mj_refs[k][0, :][None, :]) * r
+            w = (sel * mj_refs[k][0, w0:w0 + SUBW][None, :]) * r
             for d in range(dim):
                 out_ref[:, d] += jnp.sum(w * dx[d], axis=1)
 
-        if skip_empty:
-            pl.when(hi > lo)(body)
-        else:
-            body()
+        for w0 in range(0, S, SUBW):
+            fn = functools.partial(body, w0)
+            if skip_empty:
+                # (hi > lo) also skips nonzero lo == hi pads, exactly as
+                # the single-window kernel's guard did
+                pl.when((hi > jnp.maximum(lo, w0)) & (lo < w0 + SUBW))(fn)
+            else:
+                fn()
 
     for k in range(epg):
         one(k)
 
 
 def _entries_lohi_packed_kernel(dim, eps, softening, S, skip_empty, epg,
-                                ent_ref, lohi_ref, xi_ref, *rest):
+                                sub_width, ent_ref, lohi_ref, xi_ref,
+                                *rest):
     """Packed-j variant of _entries_lohi_kernel: coords + mass arrive as
     ONE (4, S) block per entry (rows 0..dim-1 coords, row dim mass) so
     each entry costs a single BlockSpec DMA instead of two (xjt + mj).
     The dma_pipeline microbench structure (probe_dma_pipeline.py kern_a)
     measured this layout at the per-entry ideal; probe_entry_overhead.py
     decomposes the production gap it recovers.  Math is bit-identical to
-    the unpacked kernel (same op order)."""
+    the unpacked kernel (same op order).  sub_width: see
+    _entries_lohi_kernel."""
     xm_refs = rest[:epg]
     out_ref = rest[epg + 1]
     e = pl.program_id(0)
@@ -853,20 +869,21 @@ def _entries_lohi_packed_kernel(dim, eps, softening, S, skip_empty, epg,
 
     xi = xi_ref[:, :]
     eps_v = jnp.asarray(eps, xi.dtype)
-    lane = jax.lax.broadcasted_iota(jnp.int32, (1, S), 1)
+    SUBW = sub_width if sub_width else S
+    lane = jax.lax.broadcasted_iota(jnp.int32, (1, SUBW), 1)
 
     def one(k):
         lohi = lohi_ref[e * epg + k]
         lo = lohi & 0xFFFF
         hi = lohi >> 16
 
-        def body():
-            sel = ((lane >= lo) & (lane < hi)).astype(xi.dtype)
+        def body(w0):
+            sel = ((lane + w0 >= lo) & (lane + w0 < hi)).astype(xi.dtype)
             xm = xm_refs[k]
             dx = []
             d2 = None
             for d in range(dim):
-                xd = xm[d, :][None, :] - xi[:, d][:, None]
+                xd = xm[d, w0:w0 + SUBW][None, :] - xi[:, d][:, None]
                 dx.append(xd)
                 d2 = xd * xd if d2 is None else d2 + xd * xd
             if softening == "poly":
@@ -876,14 +893,16 @@ def _entries_lohi_packed_kernel(dim, eps, softening, S, skip_empty, epg,
                 t = s * s * s
             r = pl.reciprocal(t, approx=True)
             r = r * (jnp.asarray(2.0, xi.dtype) - t * r)
-            w = (sel * xm[dim, :][None, :]) * r
+            w = (sel * xm[dim, w0:w0 + SUBW][None, :]) * r
             for d in range(dim):
                 out_ref[:, d] += jnp.sum(w * dx[d], axis=1)
 
-        if skip_empty:
-            pl.when(hi > lo)(body)
-        else:
-            body()
+        for w0 in range(0, S, SUBW):
+            fn = functools.partial(body, w0)
+            if skip_empty:
+                pl.when((hi > jnp.maximum(lo, w0)) & (lo < w0 + SUBW))(fn)
+            else:
+                fn()
 
     for k in range(epg):
         one(k)
@@ -891,7 +910,7 @@ def _entries_lohi_packed_kernel(dim, eps, softening, S, skip_empty, epg,
 
 @functools.partial(
     jax.jit, static_argnames=("eps", "S", "tb", "interpret", "softening",
-                              "skip_empty", "epg", "packed_j")
+                              "skip_empty", "epg", "packed_j", "sub_width")
 )
 def entries_lohi_eval_pallas(
     xi: jnp.ndarray,
@@ -908,6 +927,7 @@ def entries_lohi_eval_pallas(
     skip_empty: bool = True,
     epg: int = 1,
     packed_j: bool = False,
+    sub_width: int | None = None,
 ) -> jnp.ndarray:
     """Chunked self-describing entry evaluation (see the kernel).  entries
     and lohis are 1-D or (nchunks, E); entries must be sorted by tile id,
@@ -921,10 +941,18 @@ def entries_lohi_eval_pallas(
 
     packed_j=True repacks the j side into one (4, npad) array (coords
     rows + mass row, zero row padding dim=2) so each entry costs ONE
-    BlockSpec DMA instead of two; bit-exact same math."""
+    BlockSpec DMA instead of two; bit-exact same math.
+
+    sub_width (None = whole block) guards the pair math per sub_width-
+    wide subwindow so a wide S pays math only where entries are
+    occupied; must divide S and be a multiple of 128."""
     dim = xi.shape[1]
     ntiles = xi.shape[0] // tb
     dtype = xi.dtype
+    if sub_width is not None and sub_width >= S:
+        sub_width = None
+    if sub_width is not None and (S % sub_width or sub_width % 128):
+        raise ValueError("sub_width must divide S and be a multiple of 128")
     if entries.ndim == 1:
         entries = entries[None, :]
         lohis = lohis[None, :]
@@ -939,7 +967,7 @@ def entries_lohi_eval_pallas(
              jnp.zeros((R - dim - 1, xjt.shape[1]), dtype)], axis=0)
         kernel = functools.partial(_entries_lohi_packed_kernel, dim,
                                    float(eps), softening, S, skip_empty,
-                                   epg)
+                                   epg, sub_width)
 
         def jspec(k):
             return pl.BlockSpec(
@@ -989,7 +1017,7 @@ def entries_lohi_eval_pallas(
         return out
 
     kernel = functools.partial(_entries_lohi_kernel, dim, float(eps),
-                               softening, S, skip_empty, epg)
+                               softening, S, skip_empty, epg, sub_width)
 
     def jspec(k):
         return pl.BlockSpec(
