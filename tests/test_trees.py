@@ -937,6 +937,66 @@ def test_step_packing_ablates_match_default(algo, token, f32_eps):
     assert float(jnp.max(jnp.abs(a0 - a1))) == 0.0
 
 
+@pytest.mark.parametrize("algo,token", [
+    ("octree", "subw256"),            # sub-windowed eval, default S
+    ("octree", "wides2048"),          # S=2048 via the widened-pad path
+    ("octree", "wides2048.subw256"),  # wide S + width-proportional math
+    ("bvh", "dblk2048"),              # residual DMA block > node size
+    ("bvh", "dblk2048.subw256"),
+])
+def test_wide_block_knobs_match_default(algo, token, f32_eps):
+    """Round-4f wide-S machinery: requesting an S-block/DMA block wider
+    than the tile-rounded pad widens npad_g to the lcm (n=17000 makes
+    17408 % 2048 != 0, exercising the widening), and the sub-windowed
+    eval guards the pair math per subwindow.  Both only regroup WHICH
+    entry/subwindow performs an add over the identical pair set, so the
+    forces must match the default path to accumulation-order rounding."""
+    from nbody_tpu.ops.geometry import scalar_bounds
+    from nbody_tpu.ops.octree import max_depth as odepth, morton_sort, \
+        robust_quant_box
+    from nbody_tpu.ops.octree_group import compute_force_grouped_fast
+    from nbody_tpu.ops.bvh_group import compute_force_grouped_windowed
+
+    n, dim = 17000, 3
+    rng = np.random.default_rng(11)
+    centers = rng.uniform(-40, 40, (9, dim))
+    x = jnp.asarray((centers[rng.integers(0, 9, n)] +
+                     rng.normal(0, 1.2, (n, dim))).astype(np.float32))
+    m = jnp.asarray(rng.uniform(0.1, 1, n).astype(np.float32))
+    toks = token.split(".")
+    s_block = 2048 if "wides2048" in toks else None
+    ablate = ",".join(t for t in toks if not t.startswith("wides"))
+    if algo == "octree":
+        depth = odepth(n, dim)
+        lo, hi = scalar_bounds(x)
+        lo_r, hi_r = robust_quant_box(x, lo, hi)
+        ms, xs, ks, _ = morton_sort(m, x, lo_r, hi_r, depth)
+        a0, i0 = compute_force_grouped_fast(ms, xs, ks, lo_r, hi_r, depth,
+                                            0.5, 1.0, f32_eps,
+                                            interpret=True)
+        a1, i1 = compute_force_grouped_fast(ms, xs, ks, lo_r, hi_r, depth,
+                                            0.5, 1.0, f32_eps,
+                                            interpret=True, ablate=ablate,
+                                            s_block=s_block)
+    else:
+        xmin, xmax = aabb_of_points(x, f32_eps)
+        perm = hilbert_sort_perm(x, xmin, xmax, true_curve=True)
+        ms, xs = m[perm], x[perm]
+        tree = build_tree(ms, xs, f32_eps)
+        a0, i0 = compute_force_grouped_windowed(tree, ms, xs, 0.5, 1.0,
+                                                f32_eps, interpret=True)
+        a1, i1 = compute_force_grouped_windowed(tree, ms, xs, 0.5, 1.0,
+                                                f32_eps, interpret=True,
+                                                ablate=ablate)
+    assert int(i0["entries"]) > 0
+    assert float(jnp.max(jnp.abs(a0))) > 0
+    rel = float(jnp.sum(jnp.abs(a0 - a1)) / jnp.sum(jnp.abs(a0)))
+    assert rel < 1e-5
+    if s_block or "dblk2048" in toks:
+        # the wide block must actually merge entries, not just run
+        assert int(i1["entries"]) <= int(i0["entries"])
+
+
 # ------------------------------------- sentinel-leak regressions (ADVICE r3)
 
 def test_octree_word_extract_maxb_overflow_no_corruption(f32_eps):
