@@ -154,7 +154,10 @@ def _unpack_bits(words, dtype):
     K = words.shape[1]
     rep = pltpu.repeat(words, 32, axis=1)            # lane l = word (l % K)
     lane = jax.lax.broadcasted_iota(jnp.int32, (1, K * 32), 1)
-    bit = jax.lax.shift_right_logical(rep, lane // K) & 1
+    # jnp.int32(K): a bare Python-int divisor becomes an i64 constant
+    # under x64 whose i64->i32 convert recurses forever in Mosaic's
+    # _convert_helper (accuracy_study's f64-oracle mode trips this)
+    bit = jax.lax.shift_right_logical(rep, lane // jnp.int32(K)) & 1
     return bit.astype(dtype)
 
 
@@ -288,11 +291,13 @@ def _masked_bits_kernel(dim, eps, softening, tb, tg, xi_ref, xjt_ref,
         mask = _unpack_bits(words_ref[0, 0, :, :], xi.dtype)  # (1, TJ)
         w = (mask[0, :] * mj_ref[0, :])[None, :] * r
     else:
-        rows = jax.lax.broadcasted_iota(jnp.int32, (tg * tb, 1), 0) // tb
+        rows = (jax.lax.broadcasted_iota(jnp.int32, (tg * tb, 1), 0)
+                // jnp.int32(tb))                   # int32-pinned (x64-safe)
         mask = jnp.zeros((tg * tb, r.shape[1]), xi.dtype)
+        zero = jnp.zeros((), xi.dtype)
         for g in range(tg):
             mg = _unpack_bits(words_ref[0, 0, g:g + 1, :], xi.dtype)
-            mask = mask + jnp.where(rows == g, mg, 0.0)
+            mask = mask + jnp.where(rows == jnp.int32(g), mg, zero)
         w = (mask * mj_ref[0, :][None, :]) * r
     for d in range(dim):
         out_ref[:, d] += jnp.sum(w * dx[d], axis=1)
@@ -420,7 +425,7 @@ def window_eval_pallas(
         base_kernel(*refs)
 
     def jmap(t, c, w0_ref):
-        return (0, w0_ref[t] // wj + c)
+        return (0, w0_ref[t] // jnp.int32(wj) + c)  # int32-pinned (x64-safe)
 
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=1,
@@ -463,7 +468,7 @@ def _window_interval_kernel(dim, eps, softening, tb, jb, wj,
     w0 = scalars_ref[t, 0]
     lo = scalars_ref[t, 1]
     hi = scalars_ref[t, 2]
-    col0 = (w0 // wj + c) * jb
+    col0 = (w0 // jnp.int32(wj) + c) * jb          # int32-pinned (x64-safe)
     lane = jax.lax.broadcasted_iota(jnp.int32, (1, jb), 1) + col0
     sel = ((lane >= lo) & (lane < hi)).astype(xi.dtype)
     dx, r = _pair_weight(dim, eps, softening, xi, xjt_ref)
@@ -510,7 +515,7 @@ def window_eval_interval_pallas(
                                softening, tb, jb, wj)
 
     def jmap(t, c, s_ref):
-        return (0, s_ref[t, 0] // wj + c)
+        return (0, s_ref[t, 0] // jnp.int32(wj) + c)  # int32-pinned (x64-safe)
 
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=1,
@@ -551,10 +556,16 @@ def _window_nodemask_kernel(dim, eps, softening, tb, jb, wj, nv, S,
 
     xi = xi_ref[:, :]
     lane = jax.lax.broadcasted_iota(jnp.int32, (1, jb), 1)
-    node = lane // S                                        # (1, jb) in [0, nv)
+    # under x64 (accuracy_study's f64-oracle mode) a bare Python-int
+    # divisor becomes an int64 constant whose int64->int32 convert hits
+    # unbounded recursion in Mosaic's _convert_helper -- keep every
+    # integer op pinned to int32
+    node = lane // jnp.int32(S)                             # (1, jb) in [0, nv)
     sel = jnp.zeros((1, jb), xi.dtype)
+    zero = jnp.zeros((), xi.dtype)
     for v in range(nv):
-        sel = sel + jnp.where(node == v, win_ref[0, 0, 0, v], 0.0)
+        sel = sel + jnp.where(node == jnp.int32(v), win_ref[0, 0, 0, v],
+                              zero)
     dx, r = _pair_weight(dim, eps, softening, xi, xjt_ref)
     w = (sel[0, :] * mj_ref[0, :])[None, :] * r
     for d in range(dim):
@@ -603,7 +614,7 @@ def window_eval_nodemask_pallas(
                                softening, tb, jb, wj, nv, S)
 
     def jmap(t, c, w0_ref):
-        return (0, w0_ref[t] // wj + c)
+        return (0, w0_ref[t] // jnp.int32(wj) + c)  # int32-pinned (x64-safe)
 
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=1,
@@ -710,8 +721,10 @@ def group_shared_masked_eval_pallas(
         grid=(ntiles, Mp // tile_j),
         in_specs=[
             pl.BlockSpec((tb, dim), lambda t, c: (t, 0)),
-            pl.BlockSpec((1, dim, tile_j), lambda t, c: (t // G, 0, c)),
-            pl.BlockSpec((1, 1, tile_j), lambda t, c: (t // G, 0, c)),
+            pl.BlockSpec((1, dim, tile_j),
+                         lambda t, c: (t // jnp.int32(G), 0, c)),
+            pl.BlockSpec((1, 1, tile_j),
+                         lambda t, c: (t // jnp.int32(G), 0, c)),
             pl.BlockSpec((1, 1, tile_j), lambda t, c: (t, 0, c)),
         ],
         out_specs=pl.BlockSpec((tb, dim), lambda t, c: (t, 0)),

@@ -190,6 +190,21 @@ def test_bench_config_step_lowers(algo, dim):
     _run(f"ALGO = {algo!r}\nDIM = {dim}" + _STEP_CASE)
 
 
+# Under x64 (accuracy_study's f64-oracle mode runs the fp32 production
+# paths in the SAME process) a bare Python-int divisor in a kernel or
+# BlockSpec index map becomes an i64 constant whose i64->i32
+# convert_element_type hits unbounded recursion in Mosaic's
+# _convert_helper -- round 4 lost all four 1M force-error drain cases to
+# it.  These export the full production steps with x64 ON (config set
+# after import, before first trace; the env var is ignored by this
+# build, CLAUDE.md).
+@pytest.mark.parametrize("algo", ["bvh", "octree"])
+@pytest.mark.parametrize("dim", [2, 3])
+def test_bench_config_step_lowers_under_x64(algo, dim):
+    _run(f"jax.config.update('jax_enable_x64', True)\n"
+         f"ALGO = {algo!r}\nDIM = {dim}" + _STEP_CASE)
+
+
 @pytest.mark.parametrize("dim", [2, 3])
 def test_knob_octree_step_lowers(dim):
     _run(f"DIM = {dim}" + _KNOB_OCT_CASE)
