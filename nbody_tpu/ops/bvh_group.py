@@ -419,7 +419,8 @@ def _finish_grouped(acc, xt, tile_over, ncount, lcount, ncnt, lcnt, m, x, n,
     jax.jit,
     static_argnames=("theta", "G", "eps", "tile", "window_tiles",
                      "interpret", "e_chunk", "nrows", "s_target",
-                     "refine_levels", "ablate", "epg"),
+                     "refine_levels", "ablate", "epg", "d_block",
+                     "sub_width"),
 )
 def compute_force_grouped_windowed(
     tree: BVHTree,
@@ -438,6 +439,8 @@ def compute_force_grouped_windowed(
     refine_levels: int | None = None,
     ablate: str = "",
     epg: int = 1,
+    d_block: int | None = None,
+    sub_width: int | None = None,
 ):
     """Gather-free grouped BVH force (fp32 TPU fast path).
 
@@ -490,13 +493,25 @@ def compute_force_grouped_windowed(
         epg = 8
     if "epg16" in ablate.split(","):  # A/B: quadruple entry packing
         epg = 16
-    sub_width = None                  # A/B: subwN = residual pair math in
-    d_block = None                    # N-wide pl.when subwindows; dblkN =
-    for _tok in ablate.split(","):    # residual DMA blocks WIDER than the
-        if _tok.startswith("subw") and _tok[4:].isdigit():   # node size
-            sub_width = int(_tok[4:])  # (adjacent open nodes merge into
-        if _tok.startswith("dblk") and _tok[4:].isdigit():   # one entry)
-            d_block = int(_tok[4:])
+    for _tok in ablate.split(","):    # A/B: subwN = residual pair math in
+        if _tok.startswith("subw") and _tok[4:].isdigit():   # N-wide
+            sub_width = int(_tok[4:])  # pl.when subwindows; dblkN =
+        if _tok.startswith("dblk") and _tok[4:].isdigit():   # residual DMA
+            d_block = int(_tok[4:])    # blocks WIDER than the node size
+    # Production defaults (round-4g flip): wide residual DMA blocks merge
+    # adjacent open nodes into one entry (fewer grid steps + DMAs) and the
+    # sub-windowed eval keeps the pair math width-proportional.  Measured
+    # n=1M galaxy θ=0.5 (results/r4/knob_bvh.jsonl dblk2048.subw512 rows):
+    # 3-D fresh 1.630 s vs 1.701 s shipped, evolved 1.419 s vs 1.461 s.
+    # 0 opts out of either knob (d_block=0: node-sized blocks).
+    if d_block is None:
+        d_block = 2048
+    if d_block <= 0:
+        d_block = None
+    if sub_width is None:
+        sub_width = 512
+    if sub_width <= 0:
+        sub_width = None
     from nbody_tpu.ops.pallas_group_eval import (
         masked_eval_bits_pallas,
         masked_eval_pallas,
@@ -570,11 +585,15 @@ def compute_force_grouped_windowed(
     if d_block:
         # wider residual DMA block: a node's [row0, row0 + S2) never
         # straddles an Sd block iff Sd % S2 == 0; S2 = S >> ref_lv <= S,
-        # so requiring d_block % S == 0 covers every refinement level
-        if d_block % S or npad_g % d_block:
-            raise ValueError("dblk must be a multiple of the node size "
-                             "and divide the padded body count")
-        Sd = d_block
+        # so d_block must be a multiple of the node size S and divide
+        # the padded body count.  Single-chip callers widened npad_g
+        # above; sharded callers (nrows != None) keep the tile-rounded
+        # pad, so a defaulted d_block degrades by halving until it fits
+        # (reaching S = the node-sized no-op) instead of raising.
+        while d_block > S and (d_block % S or npad_g % d_block):
+            d_block //= 2
+        if d_block > S:
+            Sd = d_block
     if refine_levels is None:
         # measured at n=1M galaxy (both dims): refinement is strictly
         # COUNTERPRODUCTIVE here -- implicit-BVH children halve the BODY

@@ -484,7 +484,7 @@ def compute_force_grouped(
                      "e_chunk", "nrows", "ablate", "window_tiles",
                      "depth_bias", "descend_levels", "descend_G",
                      "descend_caps", "descend_maxb", "s_block", "epg",
-                     "far_heap_cap"),
+                     "far_heap_cap", "sub_width"),
 )
 def compute_force_grouped_fast(
     ms: jnp.ndarray,
@@ -511,6 +511,7 @@ def compute_force_grouped_fast(
     s_block: int | None = None,
     epg: int = 1,
     far_heap_cap: int | None = None,
+    sub_width: int | None = None,
 ):
     """Gather-free grouped octree force (fp32 TPU fast path).
 
@@ -581,11 +582,15 @@ def compute_force_grouped_fast(
         descend_levels = 1            # (re-priced round 4b: the round-3
     if "desc2" in ablate.split(","):  # 5.8 s number predates epg1/fheap/
         descend_levels = 2            # merging -- pair-volume lever)
-    sub_width = None
     for _tok in ablate.split(","):    # A/B: subwN = near-eval pair math in
         if _tok.startswith("subw") and _tok[4:].isdigit():
             sub_width = int(_tok[4:])  # N-wide pl.when subwindows (wide-S
             break                      # entries, width-proportional math)
+    if sub_width is not None and sub_width <= 0:
+        sub_width = None              # explicit opt-out (sub_width=0)
+        sub_width_off = True
+    else:
+        sub_width_off = False
     from nbody_tpu.ops.pallas_group_eval import (
         entries_lohi_eval_pallas,
         group_shared_masked_eval_pallas,
@@ -613,7 +618,7 @@ def compute_force_grouped_fast(
         # degrade, not a wide block.  Sharded callers (nrows != None)
         # partition rows against the tile-rounded pad, so only the
         # single-chip path widens it; there the degrade guard still rules.
-        S_req = s_block if s_block is not None else (1024 if dim == 3 else 256)
+        S_req = s_block if s_block is not None else (4096 if dim == 3 else 2048)
         S_req = max(128, min(S_req, npad_g))
         if npad_g % S_req:
             lcm = tile * S_req // math.gcd(tile, S_req)
@@ -674,12 +679,22 @@ def compute_force_grouped_fast(
     # box, merged entries): S=256 2.37 s / 594k entries, S=512 1.83 s /
     # 308k, S=1024 1.62 s / 165k (occupancy 0.87).  2-D cells are small
     # (~370 bodies fresh, ~200 evolved), so 2-D keeps S=256.
-    S = s_block if s_block is not None else (1024 if dim == 3 else 256)
+    S = s_block if s_block is not None else (4096 if dim == 3 else 2048)
     S = max(128, min(S, npad_g))
     while npad_g % S:                # partial tail block would index OOB
         S //= 2
     while npad_g // S > 16384:       # run-table blocks stay addressable
         S *= 2
+    if sub_width is None and not sub_width_off:
+        # Production default (round-4g flip): the near eval guards its
+        # pair math per sub_width-wide subwindow, so the wide-S default
+        # above (fewer entries, fewer grid steps + DMAs) stops paying
+        # full-block math on partially-occupied entries.  Measured n=1M
+        # galaxy θ=0.5 (results/r4/knob_oct.jsonl): 3-D S=4096+subw1024
+        # 1.366 s vs 1.412 s shipped; 2-D evolved S=2048+subw256 0.677 s
+        # vs 0.755 s.  sub_width=0 opts out (whole-block math);
+        # entries_lohi_eval_pallas auto-disables when sub_width >= S.
+        sub_width = 1024 if dim == 3 else 256
     # the packed-entry gbe field is 16 bits: clamp L* so the run table
     # (C cells + npad_g/S blocks + 1 pad row) stays addressable
     while (1 << (dim * level_star)) + npad_g // S + 1 > (1 << 16) \

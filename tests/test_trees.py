@@ -938,19 +938,24 @@ def test_step_packing_ablates_match_default(algo, token, f32_eps):
 
 
 @pytest.mark.parametrize("algo,token", [
-    ("octree", "subw256"),            # sub-windowed eval, default S
+    ("octree", "narrow"),             # pre-round-4g defaults: S=1024, no subw
+    ("octree", "subw256"),            # sub-windowed eval at a finer width
     ("octree", "wides2048"),          # S=2048 via the widened-pad path
     ("octree", "wides2048.subw256"),  # wide S + width-proportional math
+    ("bvh", "narrow"),                # node-sized DMA blocks, whole-block math
     ("bvh", "dblk2048"),              # residual DMA block > node size
     ("bvh", "dblk2048.subw256"),
 ])
 def test_wide_block_knobs_match_default(algo, token, f32_eps):
-    """Round-4f wide-S machinery: requesting an S-block/DMA block wider
-    than the tile-rounded pad widens npad_g to the lcm (n=17000 makes
-    17408 % 2048 != 0, exercising the widening), and the sub-windowed
-    eval guards the pair math per subwindow.  Both only regroup WHICH
-    entry/subwindow performs an add over the identical pair set, so the
-    forces must match the default path to accumulation-order rounding."""
+    """Round-4f/4g wide-S machinery (now the DEFAULT: octree S=4096/2048
+    + subw1024/256, bvh dblk=2048 + subw512): requesting an S-block/DMA
+    block wider than the tile-rounded pad widens npad_g to the lcm
+    (n=17000 makes 17408 % 2048 != 0, exercising the widening), and the
+    sub-windowed eval guards the pair math per subwindow.  Both only
+    regroup WHICH entry/subwindow performs an add over the identical
+    pair set, so every arm -- including the explicit pre-flip "narrow"
+    configuration -- must match the shipped default to accumulation-
+    order rounding."""
     from nbody_tpu.ops.geometry import scalar_bounds
     from nbody_tpu.ops.octree import max_depth as odepth, morton_sort, \
         robust_quant_box
@@ -964,8 +969,15 @@ def test_wide_block_knobs_match_default(algo, token, f32_eps):
                      rng.normal(0, 1.2, (n, dim))).astype(np.float32))
     m = jnp.asarray(rng.uniform(0.1, 1, n).astype(np.float32))
     toks = token.split(".")
-    s_block = 2048 if "wides2048" in toks else None
-    ablate = ",".join(t for t in toks if not t.startswith("wides"))
+    narrow = token == "narrow"
+    s_block = 2048 if "wides2048" in toks else (1024 if narrow else None)
+    kw = {}
+    if narrow:
+        kw["sub_width"] = 0
+        if algo == "bvh":
+            kw["d_block"] = 0
+    ablate = ",".join(t for t in toks
+                      if not t.startswith("wides") and t != "narrow")
     if algo == "octree":
         depth = odepth(n, dim)
         lo, hi = scalar_bounds(x)
@@ -977,7 +989,7 @@ def test_wide_block_knobs_match_default(algo, token, f32_eps):
         a1, i1 = compute_force_grouped_fast(ms, xs, ks, lo_r, hi_r, depth,
                                             0.5, 1.0, f32_eps,
                                             interpret=True, ablate=ablate,
-                                            s_block=s_block)
+                                            s_block=s_block, **kw)
     else:
         xmin, xmax = aabb_of_points(x, f32_eps)
         perm = hilbert_sort_perm(x, xmin, xmax, true_curve=True)
@@ -987,14 +999,15 @@ def test_wide_block_knobs_match_default(algo, token, f32_eps):
                                                 f32_eps, interpret=True)
         a1, i1 = compute_force_grouped_windowed(tree, ms, xs, 0.5, 1.0,
                                                 f32_eps, interpret=True,
-                                                ablate=ablate)
+                                                ablate=ablate, **kw)
     assert int(i0["entries"]) > 0
     assert float(jnp.max(jnp.abs(a0))) > 0
     rel = float(jnp.sum(jnp.abs(a0 - a1)) / jnp.sum(jnp.abs(a0)))
     assert rel < 1e-5
-    if s_block or "dblk2048" in toks:
-        # the wide block must actually merge entries, not just run
-        assert int(i1["entries"]) <= int(i0["entries"])
+    if narrow:
+        # the shipped wide default must actually merge entries relative
+        # to the narrow pre-flip configuration, not just run
+        assert int(i0["entries"]) <= int(i1["entries"])
 
 
 # ------------------------------------- sentinel-leak regressions (ADVICE r3)
