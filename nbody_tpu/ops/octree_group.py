@@ -1549,6 +1549,12 @@ def compute_force_grouped_fast(
         "open_cells": jnp.sum(open_mask, dtype=jnp.int32),
         "open_mass": open_mass,
         "near_width_sum": near_width_sum,
+        # window-pass occupancy: the interval kernel evaluates the FULL
+        # wt*tile j-window per i-tile and masks to [lo_t, hi_t); the
+        # ratio span_sum/capacity is the fraction of that pair math
+        # doing real work (lever pricing for a windowed skip)
+        "window_span_sum": jnp.sum(hi_t - lo_t, dtype=jnp.int32),
+        "window_capacity": jnp.asarray(ntiles * wt * tile, jnp.int32),
         "node_overflow": jnp.zeros((), jnp.int32),
         "leaf_overflow": jnp.zeros((), jnp.int32),
     }

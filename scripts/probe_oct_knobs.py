@@ -106,7 +106,9 @@ def main():
                                       "open_cells", "near_width_sum",
                                       "near_unique_blocks",
                                       "near_width_cell_tile",
-                                      "near_width_cell_subtile_xnsub")
+                                      "near_width_cell_subtile_xnsub",
+                                      "window_span_sum",
+                                      "window_capacity")
             if k in info}
     diag.update({k: float(info[k]) for k in ("pb_width_box", "pb_width_com",
                                              "pb_width_tile") if k in info})
