@@ -108,7 +108,8 @@ def main():
                                       "near_width_cell_tile",
                                       "near_width_cell_subtile_xnsub",
                                       "window_span_sum",
-                                      "window_capacity")
+                                      "window_capacity",
+                                      "far_heap_nonempty")
             if k in info}
     diag.update({k: float(info[k]) for k in ("pb_width_box", "pb_width_com",
                                              "pb_width_tile") if k in info})
