@@ -501,11 +501,14 @@ def compute_force_grouped_windowed(
     # Production defaults (round-4g flip): wide residual DMA blocks merge
     # adjacent open nodes into one entry (fewer grid steps + DMAs) and the
     # sub-windowed eval keeps the pair math width-proportional.  Measured
-    # n=1M galaxy θ=0.5 (results/r4/knob_bvh.jsonl dblk2048.subw512 rows):
-    # 3-D fresh 1.630 s vs 1.701 s shipped, evolved 1.419 s vs 1.461 s.
-    # 0 opts out of either knob (d_block=0: node-sized blocks).
+    # n=1M galaxy θ=0.5 (results/r4/knob_bvh.jsonl dblk*.subw512 rows):
+    # 3-D dblk4096 fresh 1.626 s / evolved 1.409 s vs dblk2048
+    # 1.630/1.419 vs shipped-node-blocks 1.701/1.461; 2-D keeps
+    # dblk2048 (0.536/0.543, dblk4096 unmeasured there and 2-D nodes
+    # are thin).  0 opts out of either knob (d_block=0: node-sized
+    # blocks).
     if d_block is None:
-        d_block = 2048
+        d_block = 4096 if x.shape[1] == 3 else 2048
     if d_block <= 0:
         d_block = None
     if sub_width is None:

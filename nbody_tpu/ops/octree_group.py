@@ -618,7 +618,7 @@ def compute_force_grouped_fast(
         # degrade, not a wide block.  Sharded callers (nrows != None)
         # partition rows against the tile-rounded pad, so only the
         # single-chip path widens it; there the degrade guard still rules.
-        S_req = s_block if s_block is not None else (4096 if dim == 3 else 2048)
+        S_req = s_block if s_block is not None else (8192 if dim == 3 else 2048)
         S_req = max(128, min(S_req, npad_g))
         if npad_g % S_req:
             lcm = tile * S_req // math.gcd(tile, S_req)
@@ -679,7 +679,7 @@ def compute_force_grouped_fast(
     # box, merged entries): S=256 2.37 s / 594k entries, S=512 1.83 s /
     # 308k, S=1024 1.62 s / 165k (occupancy 0.87).  2-D cells are small
     # (~370 bodies fresh, ~200 evolved), so 2-D keeps S=256.
-    S = s_block if s_block is not None else (4096 if dim == 3 else 2048)
+    S = s_block if s_block is not None else (8192 if dim == 3 else 2048)
     S = max(128, min(S, npad_g))
     while npad_g % S:                # partial tail block would index OOB
         S //= 2
@@ -690,8 +690,9 @@ def compute_force_grouped_fast(
         # pair math per sub_width-wide subwindow, so the wide-S default
         # above (fewer entries, fewer grid steps + DMAs) stops paying
         # full-block math on partially-occupied entries.  Measured n=1M
-        # galaxy θ=0.5 (results/r4/knob_oct.jsonl): 3-D S=4096+subw1024
-        # 1.366 s vs 1.412 s shipped; 2-D evolved S=2048+subw256 0.677 s
+        # galaxy θ=0.5 (results/r4/knob_oct.jsonl): 3-D S=8192+subw1024
+        # 1.358 s fresh / 1.303 s evolved (S=4096: 1.366/1.312; S=1024
+        # pre-flip: 1.412 s); 2-D evolved S=2048+subw256 0.677 s
         # vs 0.755 s.  sub_width=0 opts out (whole-block math);
         # entries_lohi_eval_pallas auto-disables when sub_width >= S.
         sub_width = 1024 if dim == 3 else 256
