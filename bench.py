@@ -306,14 +306,17 @@ def _emit() -> None:
     print(json.dumps(record), flush=True)
 
 
-def _clear_tpu_competitors(max_wait_s: int = 1200) -> None:
+def _clear_tpu_competitors(max_wait_s: int = 30) -> None:
     """The TPU worker crashes when two processes compete through the axon
     tunnel.  The measurement queues (scripts/tpu_queue*.sh) serialize
     behind a live bench.py via /tmp/bench.pid, but the DRIVER's
     end-of-round bench.py knows nothing about a still-running queue --
-    so this bench owns the TPU: wait politely for queue pids to exit,
-    then SIGTERM/SIGKILL their process trees (by pid, never by name).
-    Queues are idempotent and resumable, so a killed case is re-runnable."""
+    so this bench owns the TPU and kills any queue process tree
+    IMMEDIATELY (by pid, never by name).  Round-4 lesson (BENCH_r04
+    rc=124 all-null): the old behaviour waited up to 20 min for a queue
+    case to finish, and the driver's outer timeout expired first.
+    Queues are idempotent and resumable, so a killed case is re-runnable;
+    a 30 s SIGTERM grace lets the case's in-flight dispatch drain."""
     import signal as _sig
     import time as _time
 
@@ -352,9 +355,6 @@ def _clear_tpu_competitors(max_wait_s: int = 1200) -> None:
     except OSError:
         pass
 
-    def _busy(pid: int) -> bool:
-        return len(_tree(pid)) > 1  # bash + a running case child
-
     pids = []
     for pf in ("/tmp/queue.pid", "/tmp/queue2.pid", "/tmp/queue3.pid",
                "/tmp/queue4.pid", "/tmp/queue5.pid", "/tmp/drain.pid"):
@@ -367,28 +367,35 @@ def _clear_tpu_competitors(max_wait_s: int = 1200) -> None:
             pids.append(pid)
     if not pids:
         return
+    _errors["queue_killed"] = str(pids)
+    for root in pids:
+        for p in _tree(root):
+            try:
+                os.kill(p, _sig.SIGTERM)
+            except OSError:
+                pass
     deadline = _time.monotonic() + max_wait_s
-    while _time.monotonic() < deadline and any(
-            _alive(p) and _busy(p) for p in pids):
-        _time.sleep(30)
-    survivors = [p for p in pids if _alive(p)]
-    if survivors:
-        _errors["queue_killed"] = str(survivors)
-        for root in survivors:
-            for p in _tree(root):
-                try:
-                    os.kill(p, _sig.SIGTERM)
-                except OSError:
-                    pass
-        _time.sleep(10)
-        for root in survivors:
-            for p in _tree(root):
-                try:
-                    os.kill(p, _sig.SIGKILL)
-                except OSError:
-                    pass
-    else:
-        _errors["queue_waited"] = "yes"
+    while _time.monotonic() < deadline and any(_alive(p) for p in pids):
+        _time.sleep(2)
+    for root in pids:
+        for p in _tree(root):
+            try:
+                os.kill(p, _sig.SIGKILL)
+            except OSError:
+                pass
+
+
+def _flush_partial() -> None:
+    """Write the measured-so-far dict next to the repo so a SIGKILLed
+    parent (no signal handler runs) still leaves every completed metric
+    on disk.  Best-effort; never raises."""
+    try:
+        path = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                            "results", "bench_progress.json")
+        with open(path, "w") as fh:
+            json.dump({"results": _results, "errors": _errors}, fh)
+    except OSError:
+        pass
 
 
 def _tunnel_alive(timeout_s: int = 420) -> bool:
@@ -473,21 +480,26 @@ def main() -> int:
                 return False
             time.sleep(min(300, max(60, left - reserve)))
 
-    # priority order: headline first, so a budget/timeout abort still
-    # records the numbers the verdict tracks (3-D trees, then 2-D, then
-    # the secondary all-pairs variants).  Re-gate on liveness before
-    # every metric: a tunnel that dies mid-run is waited out instead of
-    # burning each remaining metric's full child timeout.
-    for name in ("allpairs_3d", "octree_3d", "bvh_3d",
-                 "octree_3d_evolved", "bvh_3d_evolved",
-                 "octree_2d", "bvh_2d",
-                 "octree_2d_evolved", "bvh_2d_evolved",
-                 "allpairs_3d_fast", "allpairs_2d"):
+    # priority order: CHEAPEST + most-verdict-tracked first (round-4
+    # lesson: BENCH_r04 died all-null with the expensive all-pairs scan
+    # first in line).  The eight tree rows cost ~25-90 s each
+    # post-compile and are the numbers the verdict tracks (round-4g
+    # default confirmation); the all-pairs scans need minutes each and
+    # go last.  Re-gate on liveness before every metric: a tunnel that
+    # dies mid-run is waited out instead of burning each remaining
+    # metric's full child timeout.  Partial results are flushed to
+    # results/bench_progress.json after every metric so even a SIGKILL
+    # (which skips the SIGTERM emit path) leaves a non-null record.
+    for name in ("octree_3d", "bvh_3d", "octree_2d", "bvh_2d",
+                 "octree_2d_evolved", "octree_3d_evolved",
+                 "bvh_3d_evolved", "bvh_2d_evolved",
+                 "allpairs_3d", "allpairs_3d_fast", "allpairs_2d"):
         if not _await_tunnel():
             break
         r = _measure_safe(_errors, name)
         if r is not None:
             _results[name] = r
+        _flush_partial()
     if not _results and not _ever_alive["v"]:
         # third-round-forfeit guard: the TPU was NEVER reachable.  Record
         # reduced-N CPU measurements, clearly labeled, instead of an

@@ -1,20 +1,26 @@
 #!/bin/bash
-# Dynamic TPU work queue: drains case lines from results/r4/drain_cases.txt
+# Dynamic TPU work queue: drains case lines from $R/drain_cases.txt
 # (append lines while it runs; it polls for new work every 60 s and exits
-# when it processes a line reading "END").  One TPU user at a time: waits
-# for tpu_queue3.sh first.  Line formats:
+# when it processes a line reading "END").  One TPU user at a time.
+# Line formats:
 #   case  PROBE OUT SPEC CAP        -> python scripts/PROBE OUT SPEC
 #   bd    ALGO ABLATE DIM EV CAP    -> probe_r4_breakdown.py
-#   entov MODE S CAP                -> probe_entry_overhead.py
 #   argv  PROBE OUT A B C... CAP    -> python scripts/PROBE OUT A B C...
 #   END
 # Every line is run at most once (tracked in drain_done.txt by line text);
 # failures are logged and not retried (append the line again to retry).
 #
-# Feeds: whatever each queued probe feeds (see the probes' headers).
+# Round-5 lifecycle fixes (VERDICT weak-1/8):
+#  * END-OF-ROUND GUARD: if /tmp/round_deadline holds an epoch-seconds
+#    deadline, no new case starts within $GUARD_S (default 5400) of it —
+#    the round-4 driver bench was starved by a 2700 s-cap case that
+#    started minutes before the snapshot.
+#  * BATCHED commits: one commit per drain sweep (at END/stop/guard
+#    exit), with the case list in the body, instead of a commit per case.
 set -u
 cd "$(dirname "$0")/.." || exit 1
-R=results/r4
+R=${DRAIN_DIR:-results/r5}
+GUARD_S=${DRAIN_GUARD_S:-5400}
 mkdir -p "$R"
 LOG=$R/queue_log.txt
 CASES=$R/drain_cases.txt
@@ -22,6 +28,34 @@ DONE=/tmp/drain_done.txt
 touch "$CASES" "$DONE"
 
 log() { echo "[$(date +%F' '%T)] $*" >> "$LOG"; echo "$*"; }
+
+RAN_CASES=""
+
+commit_batch() {
+    [ -z "$RAN_CASES" ] && return 0
+    git add "$R" 2>/dev/null
+    git diff --cached --quiet && { RAN_CASES=""; return 0; }
+    printf 'Drain-queue harvest (%s)\n\nCases:\n%b' \
+        "$1" "$RAN_CASES" > /tmp/drain_msg.txt
+    for _ in 1 2 3; do
+        git add "$R" 2>/dev/null
+        if git commit -q -F /tmp/drain_msg.txt 2>/dev/null; then
+            RAN_CASES=""
+            return 0
+        fi
+        git diff --cached --quiet && { RAN_CASES=""; return 0; }
+        sleep 7
+    done
+    log "commit failed ($1)"
+}
+
+guard_tripped() {
+    [ -f /tmp/round_deadline ] || return 1
+    local dl
+    dl=$(cat /tmp/round_deadline 2>/dev/null) || return 1
+    [ -n "$dl" ] || return 1
+    [ "$(date +%s)" -ge $((dl - GUARD_S)) ]
+}
 
 alive() {
     timeout 420 python -c \
@@ -35,32 +69,21 @@ await_tunnel() {
         n=$((n + 1))
         log "tunnel dead (probe $n); sleeping 300s"
         sleep 300
+        if [ -f /tmp/drain_stop ] || guard_tripped; then return 1; fi
     done
-}
-
-commit_r() {
-    for _ in 1 2 3; do
-        git add "$R" 2>/dev/null
-        if git commit -q -m "$1" 2>/dev/null; then return 0; fi
-        git diff --cached --quiet && return 0
-        sleep 7
-    done
-    log "commit failed: $1"
 }
 
 log "=== drain start (pid $$) ==="
 
-if [ -f /tmp/queue3.pid ] && kill -0 "$(cat /tmp/queue3.pid)" 2>/dev/null; then
-    log "drain: waiting for queue3 pid $(cat /tmp/queue3.pid)"
-    while kill -0 "$(cat /tmp/queue3.pid)" 2>/dev/null; do sleep 60; done
-    log "drain: queue3 finished"
-fi
-
 while true; do
-    # bench.py owns the TPU at end of round: it touches this stop file
-    # before waiting on /tmp/drain.pid (see bench._clear_tpu_competitors)
     if [ -f /tmp/drain_stop ]; then
         log "=== drain stop requested (/tmp/drain_stop) ==="
+        commit_batch "stopped"
+        exit 0
+    fi
+    if guard_tripped; then
+        log "=== drain: end-of-round guard (within ${GUARD_S}s of deadline) ==="
+        commit_batch "end-of-round guard"
         exit 0
     fi
     ran_any=0
@@ -68,15 +91,17 @@ while true; do
         [ -z "$line" ] && continue
         case "$line" in \#*) continue ;; esac
         grep -qxF "$line" "$DONE" && continue
+        if [ -f /tmp/drain_stop ] || guard_tripped; then break; fi
         echo "$line" >> "$DONE"
         ran_any=1
         if [ "$line" = "END" ]; then
             log "=== drain complete (END) ==="
+            commit_batch "END"
             exit 0
         fi
         set -- $line
         typ=$1; shift
-        await_tunnel
+        await_tunnel || break
         case "$typ" in
             case)
                 probe=$1 out=$2 spec=$3 cap=$4
@@ -91,16 +116,8 @@ while true; do
                     "$R/breakdown.jsonl" "$algo" "$abl" "$dim" "$ev" \
                     >> "$LOG" 2>&1 || log "drain bd $algo/$abl rc=$?"
                 ;;
-            entov)
-                mode=$1 S=$2 cap=$3
-                log "DRAIN entov $mode S=$S (cap ${cap}s)"
-                timeout "$cap" python scripts/probe_entry_overhead.py \
-                    "$R/entry_overhead.jsonl" "$mode" "$S" \
-                    >> "$LOG" 2>&1 || log "drain entov $mode rc=$?"
-                ;;
             argv)
                 probe=$1; shift
-                # last field is the cap; the rest are passthrough args
                 args=("$@")
                 cap=${args[-1]}
                 unset 'args[-1]'
@@ -110,7 +127,8 @@ while true; do
                 ;;
             *) log "drain: unknown line type: $line" ;;
         esac
-        commit_r "Drain-queue measurement: $typ ${1:-}"
+        RAN_CASES="${RAN_CASES}  $line\n"
     done < "$CASES"
+    if [ "$ran_any" = 1 ]; then commit_batch "sweep"; fi
     [ "$ran_any" = 0 ] && sleep 60
 done
