@@ -213,3 +213,42 @@ def test_knob_octree_step_lowers(dim):
 @pytest.mark.parametrize("dim", [2, 3])
 def test_knob_bvh_step_lowers(dim):
     _run(f"DIM = {dim}" + _KNOB_BVH_CASE)
+
+
+# ---- partitioned / mesh-tile multi-chip paths (VERDICT r5 item 5) ---------
+#
+# test_sharding.py runs these on the 8-device CPU mesh, which (like
+# interpret mode) never exercises Mosaic: a shard_map-wrapped Pallas
+# layout could regress at TPU lowering with the suite green, and no TPU
+# hardware here will ever catch it.  Export the FULL partitioned steps
+# (distributed sort + psum heap + halo near field + ring beyond pass,
+# use_pallas=True exactly as _use_pallas_eval selects on TPU) for the
+# real tpu platform at a bench-shaped n=2^20 galaxy config, both the 1-D
+# body mesh and the 2-D (body x tile) --mesh-tile layout.
+_PARTITIONED_CASE = """
+jax.config.update("jax_num_cpu_devices", 8)
+import numpy as np
+from nbody_tpu.models import build_galaxy_model
+from nbody_tpu.parallel.tree_partitioned import (
+    make_partitioned_bvh_step, make_partitioned_octree_step)
+cfg, state = build_galaxy_model(1 << 20, DIM, np.float32)
+mk = (make_partitioned_octree_step if ALGO == "octree"
+      else make_partitioned_bvh_step)
+step = mk(cfg, NS, use_pallas=True, tile_shards=TS)
+export.export(jax.jit(lambda s: step(s)[0].x), platforms=["tpu"])(state)
+print("LOWER_OK")
+"""
+
+
+@pytest.mark.parametrize("algo", ["bvh", "octree"])
+@pytest.mark.parametrize("dim", [2, 3])
+def test_partitioned_step_lowers(algo, dim):
+    _run(f"ALGO = {algo!r}\nDIM = {dim}\nNS = 8\nTS = 1"
+         + _PARTITIONED_CASE)
+
+
+@pytest.mark.parametrize("algo", ["bvh", "octree"])
+def test_partitioned_mesh_tile_step_lowers(algo):
+    # (S/2) x 2 layout: 4 body shards x 2 tile shards = 8 devices
+    _run(f"ALGO = {algo!r}\nDIM = 3\nNS = 4\nTS = 2"
+         + _PARTITIONED_CASE)
