@@ -338,7 +338,7 @@ def _beyond_exchange(xt, beyond_open, m_l, x_l, cell_local, soften,
                             n_shards)
 
     return jax.lax.cond(overflow, _ring, _exchange,
-                        m_l, x_l, tuple(extras)), count
+                        m_l, x_l, tuple(extras)), count, overflow
 
 
 def _ring_beyond(xt, beyond_open, m_l, x_l, extras, cell_of_visitor,
@@ -379,7 +379,52 @@ def _ring_beyond(xt, beyond_open, m_l, x_l, extras, cell_of_visitor,
     return ring
 
 
-def _make_step(cfg, mapped, npad):
+def _comm_accounting(*, n_shards, nl, dim, esize, nkeys, C, halo,
+                     r_budget, T, nlt, halo_key_words=0, ring_key_words=0,
+                     sub_rows=0):
+    """Per-shard SEND bytes per step, by category (VERDICT r5 item 7).
+
+    Counts the logical collective payload each shard contributes (the
+    quantity ICI actually carries per link, up to the compiler's
+    reduction topology), so the O(n/S + C) communication claim of the
+    module docstring is a number, not an argument:
+
+      sort    odd-even transposition, worst case S phases x the full
+              local block -- O(n) per shard (the adaptive mode exits
+              after O(displacement) phases; this is the static bound);
+      heap    ONE psum of the leaf level (+ extent pmin/pmax) -- O(C);
+      halo    2*halo ppermuted body blocks -- O(halo * n/S);
+      beyond  need-mask psum O(C) + compacted all_gather O(r_budget)
+              (common case) OR the exact block ring O(n) (overflow
+              fallback; reported separately, selected by the traced
+              flag the step emits);
+      tile    acc all_gather along the tile axis (2-D mesh only).
+
+    Everything except the sort bound and the ring fallback is
+    O(n/S + C) -- asserted numerically in tests/test_sharding.py."""
+    state_row = (1 + 4 * dim) * esize            # m + x/v/a/ao rows
+    sort_row = nkeys * 4 + state_row             # + pad flag/key words
+    heap = C * (4 + esize * (1 + 3 * dim))       # cnt/mass/mx + extents
+    out = {
+        "sort_bytes_max": n_shards * nl * sort_row,
+        "box_subsample_bytes": sub_rows * dim * esize,
+        "heap_psum_bytes": heap,
+        "halo_bytes": 2 * halo * nl * ((1 + dim) * esize
+                                       + 4 * halo_key_words),
+        "beyond_need_psum_bytes": C * 4,
+        "beyond_gather_bytes": r_budget * ((1 + dim) * esize + 4),
+        "ring_fallback_bytes": (n_shards - 1) * nl * (
+            (1 + dim) * esize + 4 * ring_key_words),
+        "tile_gather_bytes": (nlt * dim * esize) if T > 1 else 0,
+    }
+    out["step_bytes_no_sort"] = (
+        out["box_subsample_bytes"] + out["heap_psum_bytes"]
+        + out["halo_bytes"] + out["beyond_need_psum_bytes"]
+        + out["beyond_gather_bytes"] + out["tile_gather_bytes"])
+    return out
+
+
+def _make_step(cfg, mapped, npad, comm=None):
     """Pad-and-jit wrapper shared by both variants: pad bodies to npad
     (zero mass + duplicated last position; the flag-major sort moves
     them to the global tail), run the shard_map'd force, slice the real
@@ -403,7 +448,7 @@ def _make_step(cfg, mapped, npad):
         else:
             mp, xp, vp, ap, aop = (state.m, state.x, state.v, state.a,
                                    state.ao)
-        m2, x2, v2, _a2, ao2, acc, bc, bm, root_mass = mapped(
+        m2, x2, v2, _a2, ao2, acc, bc, bm, root_mass, ring_used = mapped(
             mp, xp, vp, ap, aop, jnp.asarray(nreal, jnp.int32))
         # engine contract (ops/integrator.py): a = the accel just
         # computed, ao = the previous step's (rides the sort as payload)
@@ -411,6 +456,12 @@ def _make_step(cfg, mapped, npad):
                          a=acc[:nreal], ao=ao2[:nreal])
         aux = {"beyond_halo_cells": bc, "beyond_halo_mass": bm,
                "root_mass": root_mass}
+        if comm is not None:
+            aux["comm"] = dict(comm)
+            aux["beyond_used_ring"] = ring_used
+            aux["comm_bytes_per_shard"] = (
+                comm["step_bytes_no_sort"]
+                + jnp.where(ring_used, comm["ring_fallback_bytes"], 0))
         return leapfrog_step(st, cfg.dt), aux
 
     return step
@@ -419,7 +470,7 @@ def _make_step(cfg, mapped, npad):
 _SPECS = dict(
     in_specs=(P(BODY_AXIS),) + (P(BODY_AXIS, None),) * 4 + (P(),),
     out_specs=((P(BODY_AXIS),) + (P(BODY_AXIS, None),) * 4
-               + (P(BODY_AXIS, None), P(), P(), P())),
+               + (P(BODY_AXIS, None), P(), P(), P(), P())),
 )
 
 
@@ -431,7 +482,8 @@ def make_partitioned_bvh_step(cfg: SimConfig, n_shards: int,
                               l_top: int | None = None,
                               use_pallas=False,
                               beyond_budget: int | None = None,
-                              tile_shards: int = 1):
+                              tile_shards: int = 1,
+                              comm_only: bool = False):
     """Partitioned implicit-BVH step.  Structurally the simpler variant:
     node j at level l covers rows [j * 2^(k-l), (j+1) * 2^(k-l)) of the
     padded power-of-two stream (bvh.h:98-127 semantics), so the halo
@@ -446,9 +498,13 @@ def make_partitioned_bvh_step(cfg: SimConfig, n_shards: int,
     axis exactly as in 1-D, each tile-shard evaluates its 1/tile_shards
     row slice of the local block against the full heap + halo window,
     and one all_gather along the tile axis reassembles the (n/S, dim)
-    accelerations."""
+    accelerations.
+
+    comm_only=True skips mesh construction and returns just the static
+    per-shard communication accounting dict (usable with more shards
+    than this host has devices -- feeds docs/DISTRIBUTED_TREES.md)."""
     T = int(tile_shards)
-    if mesh is None:
+    if mesh is None and not comm_only:
         mesh = body_tile_mesh(n_shards, T) if T > 1 else body_mesh(n_shards)
     axes = (BODY_AXIS, TILE_AXIS) if T > 1 else BODY_AXIS
     from nbody_tpu.ops.hilbert import hilbert_key_u32pair, quantize
@@ -548,7 +604,7 @@ def make_partitioned_bvh_step(cfg: SimConfig, n_shards: int,
             src = (idx - r) % n_shards
             return (src * nl + jnp.arange(nl, dtype=jnp.int32)) >> (k - L)
 
-        ring, _need_rows = _beyond_exchange(
+        ring, _need_rows, ring_used = _beyond_exchange(
             xt, beyond, m_l, x_l, node, soften, idx, dim, dtype,
             n_shards, [], cell_of_visitor, r_budget, axes=axes)
 
@@ -557,10 +613,17 @@ def make_partitioned_bvh_step(cfg: SimConfig, n_shards: int,
             acc = jax.lax.all_gather(acc, TILE_AXIS, tiled=True)
         bc = jax.lax.psum(bc, axes)
         bm = jax.lax.pmax(bm, axes)
-        return (m_l, x_l, v_l, a_l, ao_l, acc, bc, bm, lvl["mass"][0][0])
+        return (m_l, x_l, v_l, a_l, ao_l, acc, bc, bm, lvl["mass"][0][0],
+                ring_used)
 
+    comm = _comm_accounting(
+        n_shards=n_shards, nl=nl, dim=dim,
+        esize=np.dtype(cfg.dtype).itemsize, nkeys=3, C=C, halo=halo,
+        r_budget=r_budget, T=T, nlt=nlt)
+    if comm_only:
+        return comm
     mapped = _shard_map(shard_fn, mesh, **_SPECS)
-    return _make_step(cfg, mapped, npad)
+    return _make_step(cfg, mapped, npad, comm=comm)
 
 
 def make_partitioned_octree_step(cfg: SimConfig, n_shards: int,
@@ -569,7 +632,8 @@ def make_partitioned_octree_step(cfg: SimConfig, n_shards: int,
                                  l_top: int | None = None,
                                  use_pallas=False,
                                  beyond_budget: int | None = None,
-                                 tile_shards: int = 1):
+                                 tile_shards: int = 1,
+                                 comm_only: bool = False):
     """Partitioned Morton-cell octree step ((sqrt(d2)+eps)^3 softening,
     octree.h:236-247).  Cell row ranges come from the psum'd counts'
     cumsum and the halo interval SNAPS to cell boundaries (cells are
@@ -582,9 +646,10 @@ def make_partitioned_octree_step(cfg: SimConfig, n_shards: int,
     beyond-halo diagnostics and the root mass.
 
     tile_shards > 1 selects the 2-D (body x tile) mesh layout -- see
-    make_partitioned_bvh_step; identical row-slice treatment."""
+    make_partitioned_bvh_step; identical row-slice treatment.
+    comm_only=True: see make_partitioned_bvh_step."""
     T = int(tile_shards)
-    if mesh is None:
+    if mesh is None and not comm_only:
         mesh = body_tile_mesh(n_shards, T) if T > 1 else body_mesh(n_shards)
     axes = (BODY_AXIS, TILE_AXIS) if T > 1 else BODY_AXIS
     from nbody_tpu.ops.octree import max_depth, morton_keys, robust_quant_box
@@ -697,7 +762,7 @@ def make_partitioned_octree_step(cfg: SimConfig, n_shards: int,
         def cell_of_visitor(r, extras):
             return (extras[0] >> shift_L).astype(jnp.int32)
 
-        ring, _need_rows = _beyond_exchange(
+        ring, _need_rows, ring_used = _beyond_exchange(
             xt, beyond, m_l, x_l, cell, soften, idx, dim, dtype,
             n_shards, [keys], cell_of_visitor, r_budget, axes=axes)
 
@@ -706,7 +771,15 @@ def make_partitioned_octree_step(cfg: SimConfig, n_shards: int,
             acc = jax.lax.all_gather(acc, TILE_AXIS, tiled=True)
         bc = jax.lax.psum(bc, axes)
         bm = jax.lax.pmax(bm, axes)
-        return (m_l, x_l, v_l, a_l, ao_l, acc, bc, bm, lvl["mass"][0][0])
+        return (m_l, x_l, v_l, a_l, ao_l, acc, bc, bm, lvl["mass"][0][0],
+                ring_used)
 
+    comm = _comm_accounting(
+        n_shards=n_shards, nl=nl, dim=dim,
+        esize=np.dtype(cfg.dtype).itemsize, nkeys=2, C=C, halo=halo,
+        r_budget=r_budget, T=T, nlt=nlt, halo_key_words=1,
+        ring_key_words=1, sub_rows=-(-nl // sub_stride))
+    if comm_only:
+        return comm
     mapped = _shard_map(shard_fn, mesh, **_SPECS)
-    return _make_step(cfg, mapped, npad)
+    return _make_step(cfg, mapped, npad, comm=comm)
