@@ -70,14 +70,129 @@ def run_config(algorithm: str, n: int, steps: int, dim: int, precision: str,
         vals = line.split(",")
         row = dict(zip(cols, vals))
         row["wall [s]"] = f"{wall:.2f}"
+        row["provenance"] = "measured (full chained run)"
         rows.append(row)
     return rows
+
+
+# ---- --scan mode (VERDICT r5 item 6) --------------------------------------
+#
+# The full-CSV runs dispatch `steps` chained device steps; at N=1M (or in
+# emulated f64) one such dispatch exceeds the axon tunnel worker's ~45 s
+# device-time kill and crashes it -- every 1M/double row of the round-4
+# matrix died that way (error text preserved in results/r4/benchmark_*.csv).
+# --scan derives the same rows from differenced short-dispatch scans (the
+# method BASELINE.md trusts for every headline number) with a provenance
+# column: "scan" (differenced 1-vs-k iteration scans), "single-dispatch"
+# (step too costly to chain, one timed step), or "extrapolated" (one step
+# at the target N would itself exceed the worker budget -- projected from
+# two reduced-N single-dispatch measurements at the fitted power law, the
+# same method as BASELINE.md's f64-at-scale table).
+
+SAFE_DISPATCH_S = 18.0      # one timed dispatch stays well under ~45 s
+WORKER_BUDGET_S = 35.0      # never attempt a step projected above this
+
+
+def _engine_loop(algorithm: str, n: int, dim: int, precision: str):
+    import functools
+
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from nbody_tpu.models import build_galaxy_model
+    from nbody_tpu.sim.engines import EngineOptions, get_engine
+
+    dtype = np.float64 if precision == "double" else np.float32
+    cfg, state = build_galaxy_model(n, dim, dtype)
+    step = get_engine(algorithm).make_step(cfg, EngineOptions())
+
+    @functools.partial(jax.jit, static_argnames=("iters",))
+    def loop(state, iters):
+        def body(s, k):
+            return step(s, k)[0], None
+
+        return jax.lax.scan(body, state, jnp.arange(iters))[0].x
+
+    return loop, state
+
+
+def _single_step_s(algorithm: str, n: int, dim: int, precision: str,
+                   repeats: int = 2) -> float:
+    from nbody_tpu.utils.timing import sync
+
+    loop, state = _engine_loop(algorithm, n, dim, precision)
+    sync(loop(state, 1))                     # compile
+    best = float("inf")
+    for _ in range(repeats):
+        t0 = time.perf_counter()
+        sync(loop(state, 1))
+        best = min(best, time.perf_counter() - t0)
+    return best
+
+
+def scan_config(algorithm: str, n: int, steps: int, dim: int,
+                precision: str, theta: float = 0.5) -> dict:
+    """One matrix row via the scan method.  Returns the reference CSV
+    schema (algorithm,dim,precision,nsteps,nbodies,total [s]) plus
+    sec_per_step and provenance."""
+    import math
+
+    from nbody_tpu.utils.measure import scan_seconds_per_step
+
+    row = {"algorithm": algorithm, "dim": str(dim), "precision": precision,
+           "nsteps": str(steps), "nbodies": str(n)}
+
+    def _fill(dt: float, provenance: str) -> dict:
+        row["sec_per_step"] = f"{dt:.6f}"
+        row["total [s]"] = f"{dt * steps:.2f}"
+        row["provenance"] = provenance
+        return row
+
+    # doubles (and any unknown-cost config) get a reduced-N cost ladder
+    # first: project the per-step cost at the fitted power law before
+    # risking a dispatch at the target N
+    if precision == "double":
+        n1, n2 = max(10_000, n // 16), max(20_000, n // 4)
+        t1 = _single_step_s(algorithm, n1, dim, precision, repeats=1)
+        if t1 * (n / n1) > WORKER_BUDGET_S:   # conservative linear floor
+            t2 = _single_step_s(algorithm, n2, dim, precision, repeats=1)
+            g = math.log(max(t2, 1e-9) / max(t1, 1e-9)) / math.log(n2 / n1)
+            proj = t2 * (n / n2) ** g
+            if proj > WORKER_BUDGET_S:
+                return _fill(proj, (
+                    f"extrapolated (one step at N={n} projected {proj:.0f}s"
+                    f" > {WORKER_BUDGET_S:.0f}s tunnel-worker budget; fitted"
+                    f" t~n^{g:.2f} from measured N={n1}: {t1:.2f}s,"
+                    f" N={n2}: {t2:.2f}s)"))
+
+    from nbody_tpu.utils.timing import sync
+
+    loop, state = _engine_loop(algorithm, n, dim, precision)
+    sync(loop(state, 1))                     # compile
+    t_one = float("inf")
+    for _ in range(2):
+        t0 = time.perf_counter()
+        sync(loop(state, 1))
+        t_one = min(t_one, time.perf_counter() - t0)
+    if t_one > SAFE_DISPATCH_S:
+        return _fill(t_one, "single-dispatch (step too costly to chain; "
+                            "dispatch floor ~40ms is negligible here)")
+    iters_long = max(2, min(6, int(SAFE_DISPATCH_S / max(t_one, 1e-3))))
+    dt = scan_seconds_per_step(loop, (state,), iters_short=1,
+                               iters_long=iters_long, repeats=2)
+    return _fill(dt, f"scan (differenced 1-vs-{iters_long} iteration "
+                     "dispatches, min of 2 repeats)")
 
 
 def main(argv=None) -> int:
     p = argparse.ArgumentParser()
     p.add_argument("--quick", action="store_true")
     p.add_argument("--detailed", action="store_true")
+    p.add_argument("--scan", action="store_true",
+                   help="derive rows from differenced short-dispatch scans "
+                        "instead of full chained runs (tunnel-safe; adds a "
+                        "provenance column)")
     p.add_argument("--precision", default="double", choices=["double", "float"],
                    help="reference matrix uses double (ci/benchmark); float "
                         "runs the TPU-native fast path")
@@ -108,6 +223,13 @@ def main(argv=None) -> int:
         ("bvh", n_big, big_steps),
     ]
 
+    if a.scan and a.precision == "double":
+        # the scan path bypasses cli_main's x64 switch; this build
+        # ignores JAX_ENABLE_X64 (CLAUDE.md), set before backend init
+        import jax
+
+        jax.config.update("jax_enable_x64", True)
+
     meta = hardware_metadata()
     print(f"# hardware: {meta}", file=sys.stderr)
 
@@ -128,11 +250,22 @@ def main(argv=None) -> int:
     all_rows = []
     for algo, n, s in matrix:
         print(f"# running {algo} n={n} steps={s} ...", file=sys.stderr, flush=True)
-        try:
-            rows = run_config(algo, n, s, dim=3, precision=a.precision)
-        except Exception as e:
-            print(f"#   FAILED: {e}", file=sys.stderr)
-            rows = [{"algorithm": algo, "nbodies": str(n), "error": str(e)[:200]}]
+        for attempt in (0, 1):
+            try:
+                if a.scan:
+                    rows = [scan_config(algo, n, s, dim=3,
+                                        precision=a.precision)]
+                else:
+                    rows = run_config(algo, n, s, dim=3,
+                                      precision=a.precision)
+                break
+            except Exception as e:
+                # transient tunnel compile-helper crashes warrant ONE
+                # retry; a repeat failure is recorded in the row
+                print(f"#   FAILED (attempt {attempt}): {e}",
+                      file=sys.stderr)
+                rows = [{"algorithm": algo, "nbodies": str(n),
+                         "error": str(e)[:200]}]
         all_rows.extend(rows)
 
     if a.detailed:

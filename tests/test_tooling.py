@@ -135,3 +135,20 @@ def test_nasa_pipeline_synthetic(tmp_path, capsys):
     line = [l for l in out.splitlines() if "per body" in l][-1]
     per_body = float(line.split()[-1])
     assert per_body < 1e-10
+
+
+def test_benchmark_scan_config_row():
+    """--scan mode (VERDICT r5 item 6): scan_config must produce a row in
+    the reference CSV schema (ci/benchmark:78-99, ci/data.py:10-60) with
+    a sec_per_step and a provenance string, derived from differenced
+    short-dispatch scans rather than a full chained run."""
+    import benchmark
+
+    row = benchmark.scan_config("octree", 4096, 20, dim=2,
+                                precision="float")
+    assert row["algorithm"] == "octree"
+    assert row["nbodies"] == "4096" and row["nsteps"] == "20"
+    dt = float(row["sec_per_step"])
+    assert 0 < dt < 60
+    assert abs(float(row["total [s]"]) - dt * 20) < 0.05 * dt * 20 + 0.01
+    assert row["provenance"].startswith(("scan", "single-dispatch"))
