@@ -586,6 +586,10 @@ def compute_force_grouped_fast(
         if _tok.startswith("subw") and _tok[4:].isdigit():
             sub_width = int(_tok[4:])  # N-wide pl.when subwindows (wide-S
             break                      # entries, width-proportional math)
+    for _tok in ablate.split(","):    # A/B: fheapcapN = far-heap cap (the
+        if _tok.startswith("fheapcap") and _tok[8:].isdigit():
+            far_heap_cap = int(_tok[8:])  # eval width is cap-static; galaxy
+            break                         # 3-D occupies ~680 of cap 6144
     if sub_width is not None and sub_width <= 0:
         sub_width = None              # explicit opt-out (sub_width=0)
         sub_width_off = True
