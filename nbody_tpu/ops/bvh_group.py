@@ -688,6 +688,9 @@ def compute_force_grouped_windowed(
         near = window_eval_nodemask_pallas(
             xp.reshape(npad, dim), mp_g, xp_g.T, in_win, w0, float(eps),
             window_tiles=wt, S=S, interpret=interpret, wj=wjf,
+            # A/B knob (round 5): skip the pair math of j-blocks whose
+            # nv window nodes are ALL far-accepted (closed) -- bit-exact
+            skip_outside="winskip" in ablate.split(","),
         )
 
     # ---- residual: open nodes OUTSIDE the window -----------------------

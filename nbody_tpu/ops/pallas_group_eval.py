@@ -452,11 +452,21 @@ def window_eval_pallas(
     return out
 
 
-def _window_interval_kernel(dim, eps, softening, tb, jb, wj,
+def _window_interval_kernel(dim, eps, softening, tb, jb, wj, skip,
                             scalars_ref, xi_ref, xjt_ref, mj_ref, out_ref):
     """Window eval whose mask is the INTERVAL [lo, hi) of global body
     columns, computed in-kernel from prefetched scalars -- replaces the
-    dense (T, window_tiles*TB) f32 body mask (~130 MB/step at n=1M)."""
+    dense (T, window_tiles*TB) f32 body mask (~130 MB/step at n=1M).
+
+    skip=True guards the pair math per j-block: the cell-snapped
+    interval leaves ~26% of the window's columns outside [lo, hi)
+    (window_span_sum / window_capacity diagnostics), and a j-block
+    wholly outside contributes exactly zero -- skipping its math is
+    bit-exact.  The guarded region is a whole (tb, jb) block's math
+    (~3-7 us), the same granularity the round-4g subwindows showed
+    pipelines fine (the round-4 'pl.when defeats pipelining' negative
+    was per-64-row branching); the block DMA itself stays unconditional
+    so Mosaic's pipeline is untouched."""
     t = pl.program_id(0)
     c = pl.program_id(1)
 
@@ -464,22 +474,30 @@ def _window_interval_kernel(dim, eps, softening, tb, jb, wj,
     def _():
         out_ref[:, :] = jnp.zeros_like(out_ref)
 
-    xi = xi_ref[:, :]
     w0 = scalars_ref[t, 0]
     lo = scalars_ref[t, 1]
     hi = scalars_ref[t, 2]
     col0 = (w0 // jnp.int32(wj) + c) * jb          # int32-pinned (x64-safe)
-    lane = jax.lax.broadcasted_iota(jnp.int32, (1, jb), 1) + col0
-    sel = ((lane >= lo) & (lane < hi)).astype(xi.dtype)
-    dx, r = _pair_weight(dim, eps, softening, xi, xjt_ref)
-    w = (sel[0, :] * mj_ref[0, :])[None, :] * r
-    for d in range(dim):
-        out_ref[:, d] += jnp.sum(w * dx[d], axis=1)
+
+    def _math():
+        xi = xi_ref[:, :]
+        lane = jax.lax.broadcasted_iota(jnp.int32, (1, jb), 1) + col0
+        sel = ((lane >= lo) & (lane < hi)).astype(xi.dtype)
+        dx, r = _pair_weight(dim, eps, softening, xi, xjt_ref)
+        w = (sel[0, :] * mj_ref[0, :])[None, :] * r
+        for d in range(dim):
+            out_ref[:, d] += jnp.sum(w * dx[d], axis=1)
+
+    if skip:
+        pl.when((col0 < hi) & (col0 + jnp.int32(jb) > lo))(_math)
+    else:
+        _math()
 
 
 @functools.partial(
     jax.jit,
-    static_argnames=("eps", "window_tiles", "interpret", "softening", "wj"),
+    static_argnames=("eps", "window_tiles", "interpret", "softening", "wj",
+                     "skip_outside"),
 )
 def window_eval_interval_pallas(
     xi: jnp.ndarray,
@@ -493,6 +511,7 @@ def window_eval_interval_pallas(
     interpret: bool = False,
     softening: str = "poly",
     wj: int = 1,
+    skip_outside: bool = False,
 ) -> jnp.ndarray:
     """window_eval_pallas for callers whose body mask is a contiguous
     interval [lo[t], hi[t]) of global body columns (the octree's
@@ -512,7 +531,7 @@ def window_eval_interval_pallas(
         axis=1)                                            # (T, 3)
 
     kernel = functools.partial(_window_interval_kernel, dim, float(eps),
-                               softening, tb, jb, wj)
+                               softening, tb, jb, wj, skip_outside)
 
     def jmap(t, c, s_ref):
         return (0, s_ref[t, 0] // jnp.int32(wj) + c)  # int32-pinned (x64-safe)
@@ -541,41 +560,56 @@ def window_eval_interval_pallas(
     return out
 
 
-def _window_nodemask_kernel(dim, eps, softening, tb, jb, wj, nv, S,
+def _window_nodemask_kernel(dim, eps, softening, tb, jb, wj, nv, S, skip,
                             w0_ref, xi_ref, xjt_ref, mj_ref, win_ref,
                             out_ref):
     """Window eval whose mask is per-NODE openness (nv = wj * tile//S
     nodes per j-block, each covering S consecutive bodies), expanded
     in-kernel -- replaces the (T, wnodes*S) broadcast body mask (the
-    BVH windowed path's ~130 MB/step stream)."""
+    BVH windowed path's ~130 MB/step stream).
+
+    skip=True guards the j-block's pair math on ANY of its nv nodes
+    being open -- a block whose nodes are all far-field-accepted
+    contributes exactly zero (bit-exact skip; see
+    _window_interval_kernel on why block-granularity pl.when
+    pipelines fine)."""
     c = pl.program_id(1)
 
     @pl.when(c == 0)
     def _():
         out_ref[:, :] = jnp.zeros_like(out_ref)
 
-    xi = xi_ref[:, :]
-    lane = jax.lax.broadcasted_iota(jnp.int32, (1, jb), 1)
-    # under x64 (accuracy_study's f64-oracle mode) a bare Python-int
-    # divisor becomes an int64 constant whose int64->int32 convert hits
-    # unbounded recursion in Mosaic's _convert_helper -- keep every
-    # integer op pinned to int32
-    node = lane // jnp.int32(S)                             # (1, jb) in [0, nv)
-    sel = jnp.zeros((1, jb), xi.dtype)
-    zero = jnp.zeros((), xi.dtype)
-    for v in range(nv):
-        sel = sel + jnp.where(node == jnp.int32(v), win_ref[0, 0, 0, v],
-                              zero)
-    dx, r = _pair_weight(dim, eps, softening, xi, xjt_ref)
-    w = (sel[0, :] * mj_ref[0, :])[None, :] * r
-    for d in range(dim):
-        out_ref[:, d] += jnp.sum(w * dx[d], axis=1)
+    def _math():
+        xi = xi_ref[:, :]
+        lane = jax.lax.broadcasted_iota(jnp.int32, (1, jb), 1)
+        # under x64 (accuracy_study's f64-oracle mode) a bare Python-int
+        # divisor becomes an int64 constant whose int64->int32 convert hits
+        # unbounded recursion in Mosaic's _convert_helper -- keep every
+        # integer op pinned to int32
+        node = lane // jnp.int32(S)                         # (1, jb) in [0, nv)
+        sel = jnp.zeros((1, jb), xi.dtype)
+        zero = jnp.zeros((), xi.dtype)
+        for v in range(nv):
+            sel = sel + jnp.where(node == jnp.int32(v), win_ref[0, 0, 0, v],
+                                  zero)
+        dx, r = _pair_weight(dim, eps, softening, xi, xjt_ref)
+        w = (sel[0, :] * mj_ref[0, :])[None, :] * r
+        for d in range(dim):
+            out_ref[:, d] += jnp.sum(w * dx[d], axis=1)
+
+    if skip:
+        any_open = jnp.zeros((), jnp.float32)
+        for v in range(nv):
+            any_open = any_open + win_ref[0, 0, 0, v].astype(jnp.float32)
+        pl.when(any_open > 0)(_math)
+    else:
+        _math()
 
 
 @functools.partial(
     jax.jit,
     static_argnames=("eps", "window_tiles", "S", "interpret", "softening",
-                     "wj"),
+                     "wj", "skip_outside"),
 )
 def window_eval_nodemask_pallas(
     xi: jnp.ndarray,
@@ -589,6 +623,7 @@ def window_eval_nodemask_pallas(
     interpret: bool = False,
     softening: str = "poly",
     wj: int = 1,
+    skip_outside: bool = False,
 ) -> jnp.ndarray:
     """window_eval_pallas for callers whose body mask is per-NODE openness
     broadcast over S consecutive bodies (the BVH windowed near field):
@@ -611,7 +646,7 @@ def window_eval_nodemask_pallas(
                          "j-block (unrolled selects); use the dense mask")
 
     kernel = functools.partial(_window_nodemask_kernel, dim, float(eps),
-                               softening, tb, jb, wj, nv, S)
+                               softening, tb, jb, wj, nv, S, skip_outside)
 
     def jmap(t, c, w0_ref):
         return (0, w0_ref[t] // jnp.int32(wj) + c)  # int32-pinned (x64-safe)

@@ -174,14 +174,15 @@ _KNOB_ABLATE_BVH_CASE = _KNOB_BVH_CASE.replace(
 
 @pytest.mark.parametrize("dim", [2, 3])
 @pytest.mark.parametrize("ablate", ["packedj", "fheap", "fheap,packedj",
-                                    "desc1", "nofheap"])
+                                    "desc1", "nofheap", "winskip"])
 def test_knob_octree_ablate_lowers(dim, ablate):
     _run(f"DIM = {dim}\nABLATE = {ablate!r}" + _KNOB_ABLATE_OCT_CASE)
 
 
 @pytest.mark.parametrize("dim", [2, 3])
-def test_knob_bvh_packedj_lowers(dim):
-    _run(f"DIM = {dim}\nABLATE = 'packedj'" + _KNOB_ABLATE_BVH_CASE)
+@pytest.mark.parametrize("ablate", ["packedj", "winskip"])
+def test_knob_bvh_packedj_lowers(dim, ablate):
+    _run(f"DIM = {dim}\nABLATE = {ablate!r}" + _KNOB_ABLATE_BVH_CASE)
 
 
 @pytest.mark.parametrize("algo", ["bvh", "octree"])
