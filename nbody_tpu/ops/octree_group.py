@@ -524,7 +524,8 @@ def compute_force_grouped_fast(
 
     far-heap compaction (fheap) flipped to DEFAULT in round 4b: the
     far-field masked eval runs over the NONEMPTY heap cells only
-    (auto cap 6144 3-D / 8192 2-D, lax.cond bit-exact dense fallback
+    (auto cap 2048 3-D [round-5 flip] / 8192 2-D, lax.cond bit-exact
+    dense fallback
     on overflow) — won all four n=1M A/B configs by 3.5-17.6%
     (results/r4/knob_oct.jsonl fheap rows).  Opt out: ablate="nofheap"
     or far_heap_cap=0.
@@ -1062,7 +1063,17 @@ def compute_force_grouped_fast(
         # far_heap_cap=0; ablate="fheap" remains a no-op alias.
         far_cap = far_heap_cap
         if far_cap is None and "nofheap" not in ablate.split(","):
-            far_cap = 6144 if dim == 3 else 8192
+            # 3-D cap 6144 -> 2048 (round 5): measured occupancy is 653
+            # fresh / 662 evolved (results/r5/fheap_occ.jsonl) -- ~9x
+            # headroom -- and the eval width is CAP-static.  Same-session
+            # A/B at n=1M 3-D fresh (results/r5/knob_oct.jsonl): none
+            # (6144) 1.428 s, fheapcap2048 1.384 (-44 ms), fheapcap1024
+            # 1.374 (-54 ms); 2048 shipped for 3x occupancy headroom
+            # (denser workloads overflow into the bit-exact dense
+            # fallback exactly as they did at 6144 -- uniform already
+            # did).  2-D stays 8192: evolved occupancy 6887 leaves only
+            # 16% headroom.
+            far_cap = 2048 if dim == 3 else 8192
         if far_cap is not None and far_cap <= 0:
             far_cap = None
         if far_cap is not None and far_cap < W_heap:
