@@ -688,9 +688,11 @@ def compute_force_grouped_windowed(
         near = window_eval_nodemask_pallas(
             xp.reshape(npad, dim), mp_g, xp_g.T, in_win, w0, float(eps),
             window_tiles=wt, S=S, interpret=interpret, wj=wjf,
-            # A/B knob (round 5): skip the pair math of j-blocks whose
-            # nv window nodes are ALL far-accepted (closed) -- bit-exact
-            skip_outside="winskip" in ablate.split(","),
+            # DEFAULT ON (round-5 flip, with the octree interval-skip):
+            # skip the pair math of j-blocks whose nv window nodes are
+            # ALL far-accepted (closed) -- bit-exact (tests pin vs
+            # nowinskip).  Opt out: ablate="nowinskip".
+            skip_outside="nowinskip" not in ablate.split(","),
         )
 
     # ---- residual: open nodes OUTSIDE the window -----------------------

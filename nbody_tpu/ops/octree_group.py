@@ -1132,10 +1132,15 @@ def compute_force_grouped_fast(
             xp.reshape(npad, dim), mp_g, xp_g.T, w0, lo_t, hi_t,
             float(eps), window_tiles=wt, interpret=interpret,
             softening="sqrt3", wj=wjf,
-            # A/B knob (round 5): skip the pair math of j-blocks wholly
-            # outside the snapped interval (window_span_sum says ~26%
-            # of window columns are outside at n=1M 3-D) -- bit-exact
-            skip_outside="winskip" in ablate.split(","),
+            # DEFAULT ON (round-5 flip): skip the pair math of j-blocks
+            # wholly outside the snapped interval -- bit-exact (tests pin
+            # vs nowinskip).  Same-session A/B at n=1M 3-D fresh:
+            # winskip 1.4034 vs none 1.428 (-25 ms; window columns are
+            # 74% occupied there).  2-D evolved measured ~neutral (span
+            # 30.6M of 32.0M capacity = 96% occupied -- nothing to
+            # skip), and the when-check itself is block-granular and
+            # free.  Opt out: ablate="nowinskip".
+            skip_outside="nowinskip" not in ablate.split(","),
         )
     far = far + win
 

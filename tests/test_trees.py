@@ -892,15 +892,16 @@ def test_word_extraction_matches_wide(algo, f32_eps):
 
 
 @pytest.mark.parametrize("algo", ["octree", "bvh"])
-@pytest.mark.parametrize("token", ["epg8", "epg16", "ftg2", "winskip"])
+@pytest.mark.parametrize("token", ["epg8", "epg16", "ftg2", "nowinskip"])
 def test_step_packing_ablates_match_default(algo, token, f32_eps):
     """Round-3 step-count levers behind A/B tokens -- epg8 (8 near-field
     entries per grid step instead of 4) and ftg2 (2 far-field body-tiles
     per grid step) -- must be BIT-identical to the default packing: both
     only regroup which grid step performs an add, never the per-tile
-    accumulation order.  winskip (round 5) guards window-pass j-block
-    math on interval overlap / node openness: skipped blocks contribute
-    exactly zero, so it too must be bit-identical."""
+    accumulation order.  winskip (round-5 DEFAULT) guards window-pass
+    j-block math on interval overlap / node openness: skipped blocks
+    contribute exactly zero, so the default must be bit-identical to
+    the nowinskip opt-out."""
     from nbody_tpu.ops.geometry import scalar_bounds
     from nbody_tpu.ops.octree import max_depth as odepth, morton_sort, \
         robust_quant_box
