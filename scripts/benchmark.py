@@ -152,29 +152,57 @@ def scan_config(algorithm: str, n: int, steps: int, dim: int,
     # doubles (and any unknown-cost config) get a reduced-N cost ladder
     # first: project the per-step cost at the fitted power law before
     # risking a dispatch at the target N
+    ladder = []                              # [(n_i, t_i)] measured
+
+    def _extrapolate(reason: str) -> dict:
+        if len(ladder) < 2:
+            n2x = max(2 * ladder[0][0], n // 8) if ladder else n // 16
+            try:
+                ladder.append((n2x, _single_step_s(algorithm, n2x, dim,
+                                                   precision, repeats=1)))
+            except Exception as e:  # noqa: BLE001
+                return _fill(float("nan"),
+                             f"error ({reason}; ladder also failed: "
+                             f"{str(e)[:120]})")
+        (n1x, t1x), (n2x, t2x) = ladder[-2], ladder[-1]
+        g = math.log(max(t2x, 1e-9) / max(t1x, 1e-9)) / math.log(n2x / n1x)
+        proj = t2x * (n / n2x) ** g
+        return _fill(proj, (
+            f"extrapolated ({reason}; fitted t~n^{g:.2f} from measured "
+            f"N={n1x}: {t1x:.2f}s, N={n2x}: {t2x:.2f}s)"))
+
     if precision == "double":
         n1, n2 = max(10_000, n // 16), max(20_000, n // 4)
         t1 = _single_step_s(algorithm, n1, dim, precision, repeats=1)
+        ladder.append((n1, t1))
         if t1 * (n / n1) > WORKER_BUDGET_S:   # conservative linear floor
             t2 = _single_step_s(algorithm, n2, dim, precision, repeats=1)
+            ladder.append((n2, t2))
             g = math.log(max(t2, 1e-9) / max(t1, 1e-9)) / math.log(n2 / n1)
             proj = t2 * (n / n2) ** g
             if proj > WORKER_BUDGET_S:
-                return _fill(proj, (
-                    f"extrapolated (one step at N={n} projected {proj:.0f}s"
-                    f" > {WORKER_BUDGET_S:.0f}s tunnel-worker budget; fitted"
-                    f" t~n^{g:.2f} from measured N={n1}: {t1:.2f}s,"
-                    f" N={n2}: {t2:.2f}s)"))
+                return _extrapolate(
+                    f"one step at N={n} projected {proj:.0f}s > "
+                    f"{WORKER_BUDGET_S:.0f}s tunnel-worker budget")
 
     from nbody_tpu.utils.timing import sync
 
-    loop, state = _engine_loop(algorithm, n, dim, precision)
-    sync(loop(state, 1))                     # compile
-    t_one = float("inf")
-    for _ in range(2):
-        t0 = time.perf_counter()
-        sync(loop(state, 1))
-        t_one = min(t_one, time.perf_counter() - t0)
+    # the at-target measurement can fail without warning from the
+    # ladder (e.g. the f64 list path's O(chunk x n) broadcast exceeds
+    # device memory only above some N: observed f32[8,2048,100000,3] =
+    # 19.6 GB at octree double 100k).  Fall back to a labeled
+    # extrapolation instead of an error row (VERDICT r5 item 6: every
+    # row populated, measured or scan-derived).
+    try:
+        loop, state = _engine_loop(algorithm, n, dim, precision)
+        sync(loop(state, 1))                 # compile
+        t_one = float("inf")
+        for _ in range(2):
+            t0 = time.perf_counter()
+            sync(loop(state, 1))
+            t_one = min(t_one, time.perf_counter() - t0)
+    except Exception as e:  # noqa: BLE001
+        return _extrapolate(f"at-N measurement failed: {str(e)[:160]}")
     if t_one > SAFE_DISPATCH_S:
         return _fill(t_one, "single-dispatch (step too costly to chain; "
                             "dispatch floor ~40ms is negligible here)")
