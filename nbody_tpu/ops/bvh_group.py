@@ -512,7 +512,14 @@ def compute_force_grouped_windowed(
     if d_block <= 0:
         d_block = None
     if sub_width is None:
-        sub_width = 512
+        # 3-D 512 -> 1024 (round 5): each pl.when subwindow guard costs
+        # ~0.46 us/entry (BASELINE round-5 knob table), so halving the
+        # guard count (8 -> 4 per dblk4096 entry) beats the added math
+        # overshoot on the BVH's narrow residual runs: same-session A/B
+        # at n=1M 3-D fresh 1.5535 (subw1024) vs 1.618/1.622
+        # (subw512 default / nowinskip control) = -4%.  2-D keeps 512
+        # (dblk2048 = 4 guards already; 2-D rung queued).
+        sub_width = 1024 if x.shape[1] == 3 else 512
     if sub_width <= 0:
         sub_width = None
     from nbody_tpu.ops.pallas_group_eval import (
